@@ -10,8 +10,10 @@ import os
 import sys
 from pathlib import Path
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. Force-set (not setdefault):
+# the machine environment pins JAX_PLATFORMS=axon (the TPU tunnel) and tests
+# must run on virtual CPU devices regardless.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

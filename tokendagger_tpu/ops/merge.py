@@ -1,0 +1,132 @@
+"""Parallel BPE merge on device.
+
+Replaces the reference's sequential per-pretoken merge loop
+(/root/reference/src/tiktoken/tiktoken.cpp:282-378) with a vectorized
+formulation: a batch of pretokens is packed into fixed-width rows, and all
+rows advance in lockstep, each merging its own leftmost minimum-rank
+adjacent pair per iteration. Per-row semantics are *identical* to the
+sequential algorithm (global min per pretoken, leftmost tie-break, rank
+refresh of the two neighboring pairs after each merge), so token ids are
+byte-for-byte equal to tiktoken's.
+
+Data layout per row (pretoken) of bucket width C:
+  slots 0..C-1   byte positions; a slot is a live part head iff tok >= 0
+  slot  C        END sentinel (tok = -1, pr = MAX)
+  slot  C+1      TRASH sentinel — rows that finished early direct all their
+                 reads/writes here, making them no-ops; trash columns are
+                 re-cleared every iteration.
+
+Arrays: tok (token id at head), nxt/prv (live-part linked list), pr (rank
+of the pair starting at this head, MAX if none). A merge is O(1) pointer
+surgery plus two pair-table lookups; the pair value being merged *is* the
+merged token id, so no extra lookup is needed for the merge itself.
+
+The pair table is the two-choice bucketed hash from tables.py: every
+lookup is exactly two 48-byte row gathers from HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..tables import _MIX
+
+MAX_RANK = np.int32(0x7FFFFFFF)
+
+
+def _mix(a: jnp.ndarray, b: jnp.ndarray, which: int, mask: int) -> jnp.ndarray:
+    """uint32 multiply-xor mix; bit-identical to tables._mix_hash."""
+    c1, c2, c3 = _MIX[which]
+    h = a.astype(jnp.uint32) * jnp.uint32(c1) + b.astype(jnp.uint32) * jnp.uint32(c2)
+    h = h ^ (h >> jnp.uint32(16))
+    h = h * jnp.uint32(c3)
+    h = h ^ (h >> jnp.uint32(15))
+    return (h & jnp.uint32(mask)).astype(jnp.int32)
+
+
+def pair_lookup(rows: jnp.ndarray, mask: int, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """rank(bytes(a)+bytes(b)) or MAX_RANK. a, b int32, any shape.
+
+    Invalid ids (< 0, used for dead slots/sentinels) always miss.
+    """
+    out = jnp.full(a.shape, MAX_RANK, jnp.int32)
+    for which in (0, 1):
+        h = _mix(a, b, which, mask)
+        r = rows[h]  # (..., 12) row gather
+        hit = (r[..., 0:4] == a[..., None]) & (r[..., 4:8] == b[..., None])
+        vals = jnp.max(jnp.where(hit, r[..., 8:12], -1), axis=-1)
+        out = jnp.where((out == MAX_RANK) & (vals >= 0), vals, out)
+    return jnp.where((a < 0) | (b < 0), MAX_RANK, out)
+
+
+@partial(jax.jit, static_argnames=("mask",))
+def merge_rows(
+    byte_buf: jnp.ndarray,   # (R, C) uint8, zero-padded pretoken bytes
+    lengths: jnp.ndarray,    # (R,) int32 pretoken byte lengths (0 = padding row)
+    byte_rank: jnp.ndarray,  # (256,) int32
+    rows: jnp.ndarray,       # pair table rows (nb, 12) int32
+    mask: int,               # pair table bucket mask (static)
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """BPE-merge every row. Returns (tok (R, C) int32 with -1 at dead slots,
+    counts (R,) int32). Live slots in slot order are the token ids."""
+    R, C = byte_buf.shape
+    END = C
+    TRASH = C + 1
+    cols = jnp.arange(C, dtype=jnp.int32)[None, :]
+    lens = lengths[:, None]
+    valid = cols < lens
+
+    tok0 = jnp.where(valid, byte_rank[byte_buf.astype(jnp.int32)], -1)
+    tok = jnp.concatenate([tok0, jnp.full((R, 2), -1, jnp.int32)], axis=1)
+
+    has_pair = cols < (lens - 1)
+    nxt0 = jnp.where(has_pair, cols + 1, END)
+    nxt = jnp.concatenate(
+        [nxt0, jnp.full((R, 2), TRASH, jnp.int32)], axis=1
+    )
+    prv0 = jnp.where((cols > 0) & valid, cols - 1, TRASH)
+    prv = jnp.concatenate([prv0, jnp.full((R, 2), TRASH, jnp.int32)], axis=1)
+
+    pr0 = jnp.where(
+        has_pair,
+        pair_lookup(rows, mask, tok0, jnp.roll(tok0, -1, axis=1)),
+        MAX_RANK,
+    )
+    pr = jnp.concatenate([pr0, jnp.full((R, 2), MAX_RANK, jnp.int32)], axis=1)
+
+    rr = jnp.arange(R, dtype=jnp.int32)
+
+    def cond(state):
+        return jnp.any(state[3] != MAX_RANK)
+
+    def body(state):
+        tok, nxt, prv, pr = state
+        b = jnp.argmin(pr, axis=1).astype(jnp.int32)  # leftmost min per row
+        v = pr[rr, b]
+        # finished rows (min == MAX) redirect all their traffic to TRASH
+        b = jnp.where(v != MAX_RANK, b, TRASH)
+        b2 = nxt[rr, b]
+        b3 = nxt[rr, b2]
+        p = prv[rr, b]
+
+        tok = tok.at[rr, b].set(v)       # pair rank IS the merged token id
+        tok = tok.at[rr, b2].set(-1)     # right part consumed
+        nxt = nxt.at[rr, b].set(b3)
+        prv = prv.at[rr, b3].set(b)
+        pr = pr.at[rr, b2].set(MAX_RANK)
+        # refresh the two pairs adjacent to the merge site
+        pr = pr.at[rr, b].set(pair_lookup(rows, mask, v, tok[rr, b3]))
+        pr = pr.at[rr, p].set(pair_lookup(rows, mask, tok[rr, p], v))
+        # re-clear sentinel columns (finished rows scribble on TRASH)
+        pr = pr.at[:, END:].set(MAX_RANK)
+        tok = tok.at[:, END:].set(-1)
+        return tok, nxt, prv, pr
+
+    tok, nxt, prv, pr = jax.lax.while_loop(cond, body, (tok, nxt, prv, pr))
+    out = tok[:, :C]
+    counts = jnp.sum(out >= 0, axis=1, dtype=jnp.int32)
+    return out, counts

@@ -1,0 +1,240 @@
+"""Device table compilation.
+
+Compiles a mergeable-ranks vocabulary into fixed-shape integer arrays the
+TPU kernels consume:
+
+* **Pair-merge table** — the key insight that makes BPE merging a pure
+  integer problem on device: during a BPE merge every part is itself a
+  vocab token, so the reference's byte-slice rank lookup
+  (/root/reference/src/tiktoken/tiktoken.cpp:282-296, which hashes the raw
+  bytes spanning two parts) is equivalent to a lookup keyed by the *pair of
+  token ids* ``(a, b) -> rank(bytes(a) + bytes(b))``. The full relation is
+  enumerated at build time from every 2-split of every vocab token, then
+  packed into a two-choice bucketed hash table with a guaranteed
+  2-gather lookup.
+* **byte→rank table** — initial token ids for single bytes.
+* **decode table** — rank → (offset, length) into a concatenated byte blob.
+
+All arrays are plain numpy; jax conversion happens in the ops layer.
+Compiled tables are cached on disk keyed by a content hash of the vocab.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+MAX_RANK = np.int32(0x7FFFFFFF)
+BUCKET = 4  # slots per hash bucket
+
+# Distinct multiplicative mixing constants for the two hash choices.
+_MIX = (
+    (0x9E3779B1, 0x85EBCA77, 0x7FEB352D),
+    (0xC2B2AE3D, 0x27D4EB2F, 0x165667B1),
+)
+
+
+def _mix_hash(a: np.ndarray, b: np.ndarray, which: int, mask: int) -> np.ndarray:
+    """32-bit multiply-xor mix of a token-id pair. uint32 wraparound
+    arithmetic — must stay bit-identical to the jax version in ops/merge.py."""
+    c1, c2, c3 = _MIX[which]
+    h = a.astype(np.uint32) * np.uint32(c1) + b.astype(np.uint32) * np.uint32(c2)
+    h ^= h >> np.uint32(16)
+    h *= np.uint32(c3)
+    h ^= h >> np.uint32(15)
+    return (h & np.uint32(mask)).astype(np.int64)
+
+
+@dataclass
+class PairTable:
+    """Two-choice bucketed hash table for (a, b) -> merged rank.
+
+    ``rows`` has shape (nbuckets, 12) int32: per bucket 4 slots laid out as
+    [ka0..ka3, kb0..kb3, val0..val3]; empty slots have ka == -1.
+    A lookup gathers exactly two rows (h1, h2) and compares 8 slots.
+    """
+
+    rows: np.ndarray
+    mask: int  # nbuckets - 1
+    n_keys: int
+
+    @staticmethod
+    def build(pairs_a: np.ndarray, pairs_b: np.ndarray, vals: np.ndarray) -> "PairTable":
+        n = len(pairs_a)
+        nbuckets = 1 << max(10, int(np.ceil(np.log2(max(1, n) / 1.5))))
+        for _attempt in range(3):
+            mask = nbuckets - 1
+            ka = np.full((nbuckets, BUCKET), -1, dtype=np.int32)
+            kb = np.zeros((nbuckets, BUCKET), dtype=np.int32)
+            va = np.zeros((nbuckets, BUCKET), dtype=np.int32)
+            fill = np.zeros(nbuckets, dtype=np.int64)
+
+            remaining = np.arange(n)
+            ok = True
+            for which in (0, 1):
+                if len(remaining) == 0:
+                    break
+                h = _mix_hash(pairs_a[remaining], pairs_b[remaining], which, mask)
+                # stable group-by bucket; rank within group
+                order = np.argsort(h, kind="stable")
+                hs = h[order]
+                group_start = np.r_[0, np.flatnonzero(np.diff(hs)) + 1]
+                rank_in_group = np.arange(len(hs)) - np.repeat(
+                    group_start, np.diff(np.r_[group_start, len(hs)])
+                )
+                slot = fill[hs] + rank_in_group
+                accept = slot < BUCKET
+                idx = remaining[order][accept]
+                bkt = hs[accept]
+                sl = slot[accept]
+                ka[bkt, sl] = pairs_a[idx]
+                kb[bkt, sl] = pairs_b[idx]
+                va[bkt, sl] = vals[idx]
+                np.add.at(fill, hs[accept], 1)
+                remaining = remaining[order][~accept]
+            if len(remaining) == 0 and ok:
+                rows = np.concatenate([ka, kb, va], axis=1)  # (nb, 12)
+                return PairTable(rows=rows, mask=mask, n_keys=n)
+            nbuckets <<= 1  # overflow (astronomically rare): grow and retry
+        raise RuntimeError("pair hash table build failed after growth retries")
+
+    def lookup_np(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """Numpy reference lookup (for tests)."""
+        out = np.full(a.shape, MAX_RANK, dtype=np.int32)
+        for which in (0, 1):
+            h = _mix_hash(a, b, which, self.mask)
+            rows = self.rows[h]
+            hit = (rows[..., 0:4] == a[..., None]) & (rows[..., 4:8] == b[..., None])
+            anyhit = hit.any(-1)
+            vals = np.where(hit, rows[..., 8:12], -1).max(-1)
+            out = np.where(anyhit & (out == MAX_RANK), vals, out)
+        return out
+
+
+@dataclass
+class DeviceTables:
+    pair: PairTable
+    byte_rank: np.ndarray        # (256,) int32, -1 if byte has no rank
+    decode_offsets: np.ndarray   # (n_ids,) int64 into decode_blob
+    decode_lengths: np.ndarray   # (n_ids,) int32, -1 for unknown id
+    decode_blob: np.ndarray      # (total_bytes,) uint8
+    n_vocab: int
+    monotonic_merges: bool       # every merged token outranks its children
+
+
+def _vocab_digest(ranks: dict[bytes, int], special_tokens: dict[str, int]) -> str:
+    h = hashlib.sha256()
+    for tb in sorted(ranks):
+        h.update(tb)
+        h.update(ranks[tb].to_bytes(4, "little"))
+    for s in sorted(special_tokens):
+        h.update(s.encode())
+        h.update(special_tokens[s].to_bytes(4, "little"))
+    return h.hexdigest()[:16]
+
+
+def _cache_dir() -> Path:
+    d = Path(os.environ.get("TOKENDAGGER_TPU_CACHE", Path.home() / ".cache" / "tokendagger_tpu"))
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def build_tables(
+    ranks: dict[bytes, int],
+    special_tokens: dict[str, int] | None = None,
+    *,
+    use_cache: bool = True,
+) -> DeviceTables:
+    special_tokens = special_tokens or {}
+    cache_path = _cache_dir() / f"tables_{_vocab_digest(ranks, special_tokens)}.npz"
+    if use_cache and cache_path.exists():
+        z = np.load(cache_path)
+        return DeviceTables(
+            pair=PairTable(rows=z["pair_rows"], mask=int(z["pair_mask"]), n_keys=int(z["pair_n"])),
+            byte_rank=z["byte_rank"],
+            decode_offsets=z["decode_offsets"],
+            decode_lengths=z["decode_lengths"],
+            decode_blob=z["decode_blob"],
+            n_vocab=int(z["n_vocab"]),
+            monotonic_merges=bool(z["monotonic"]),
+        )
+
+    # --- pair-merge relation: every 2-split of every vocab token -----------
+    pa: list[int] = []
+    pb: list[int] = []
+    pv: list[int] = []
+    monotonic = True
+    for tb, rank in ranks.items():
+        if len(tb) < 2:
+            continue
+        for i in range(1, len(tb)):
+            ra = ranks.get(tb[:i])
+            rb = ranks.get(tb[i:])
+            if ra is not None and rb is not None:
+                pa.append(ra)
+                pb.append(rb)
+                pv.append(rank)
+                if rank <= max(ra, rb):
+                    monotonic = False
+    pair = PairTable.build(
+        np.asarray(pa, dtype=np.int32),
+        np.asarray(pb, dtype=np.int32),
+        np.asarray(pv, dtype=np.int32),
+    )
+
+    # --- byte -> rank -------------------------------------------------------
+    byte_rank = np.full(256, -1, dtype=np.int32)
+    for i in range(256):
+        r = ranks.get(bytes([i]))
+        if r is not None:
+            byte_rank[i] = r
+
+    # --- decode tables (ordinary + special ids in one address space) -------
+    max_id = max(max(ranks.values()), max(special_tokens.values(), default=0))
+    n_ids = max_id + 1
+    decode_lengths = np.full(n_ids, -1, dtype=np.int32)
+    decode_offsets = np.zeros(n_ids, dtype=np.int64)
+    blob_parts: list[bytes] = []
+    off = 0
+    for tb, rank in ranks.items():
+        decode_offsets[rank] = off
+        decode_lengths[rank] = len(tb)
+        blob_parts.append(tb)
+        off += len(tb)
+    for s, rank in special_tokens.items():
+        sb = s.encode("utf-8")
+        decode_offsets[rank] = off
+        decode_lengths[rank] = len(sb)
+        blob_parts.append(sb)
+        off += len(sb)
+    decode_blob = np.frombuffer(b"".join(blob_parts), dtype=np.uint8).copy()
+
+    tables = DeviceTables(
+        pair=pair,
+        byte_rank=byte_rank,
+        decode_offsets=decode_offsets,
+        decode_lengths=decode_lengths,
+        decode_blob=decode_blob,
+        n_vocab=n_ids,
+        monotonic_merges=monotonic,
+    )
+    if use_cache:
+        tmp = cache_path.with_suffix(".tmp.npz")
+        np.savez_compressed(
+            tmp,
+            pair_rows=pair.rows,
+            pair_mask=pair.mask,
+            pair_n=pair.n_keys,
+            byte_rank=byte_rank,
+            decode_offsets=decode_offsets,
+            decode_lengths=decode_lengths,
+            decode_blob=decode_blob,
+            n_vocab=n_ids,
+            monotonic=monotonic,
+        )
+        os.replace(tmp, cache_path)
+    return tables
