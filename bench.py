@@ -1,0 +1,131 @@
+"""Headline benchmark: single-accelerator encode throughput (MB/s).
+
+Measures `Tokenizer.encode_batch` end-to-end (host pretokenize + device BPE
+merge) over a synthetic English-like corpus with the real Llama-4 vocab
+(falling back to a synthetic vocab if the asset is unavailable), and prints
+ONE JSON line comparing against the reference's single-thread CPU number
+(47.30 MB/s on EPYC 4584PX, BASELINE.md / throughput_llama_1024mb.json:12).
+
+Usage: python bench.py [--mb N] [--backend auto|host|tpu] [--runs K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import random
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+REFERENCE = Path("/root/reference")
+BASELINE_MBPS = 47.30  # reference, 1 thread, 1 GB corpus
+
+WORDS = (
+    "the of and to in a is that for it as was with be by on not he this are "
+    "or his from at which but have an they you were her she all would there "
+    "their we him been has when who will no more if out so said what up its "
+    "about into than them can only other new some could time these two may "
+    "then do first any my now such like our over man me even most made after "
+    "also did many before must through back years where much your way well "
+    "down should because each just those people Mr how too little state good "
+    "very make world still own see men work long get here between both life "
+    "being under never day same another know while last might us great old "
+    "year off come since against go came right used take three"
+).split()
+
+
+def make_corpus(n_bytes: int, seed: int = 1234) -> str:
+    """Synthetic English-like text, mirroring the reference throughput
+    bench's corpus style (/root/reference/tests/throughput_test.py:246-333:
+    random common words, sentences, paragraphs)."""
+    rng = random.Random(seed)
+    parts: list[str] = []
+    size = 0
+    while size < n_bytes:
+        sent_len = rng.randint(6, 20)
+        words = [rng.choice(WORDS) for _ in range(sent_len)]
+        words[0] = words[0].capitalize()
+        s = " ".join(words) + rng.choice([". ", ". ", ". ", "! ", "? "])
+        if rng.random() < 0.08:
+            s += "\n\n"
+        parts.append(s)
+        size += len(s)
+    return "".join(parts)[:n_bytes]
+
+
+def load_tokenizer(backend: str):
+    from tokendagger_tpu import Tokenizer, vocab
+
+    model = REFERENCE / "src" / "tokenizer.model"
+    config = REFERENCE / "src" / "tokenizer_config.json"
+    if model.exists():
+        ranks = vocab.load_tiktoken_model(model)
+        specials = vocab.load_hf_special_tokens(config) if config.exists() else {}
+        name = "llama4"
+    else:
+        from tests.conftest import make_tiny_vocab
+
+        ranks, specials = make_tiny_vocab()
+        name = "tiny-synthetic"
+    tok = Tokenizer(
+        name,
+        pattern=vocab.LLAMA4_PATTERN,
+        mergeable_ranks=ranks,
+        special_tokens=specials,
+        backend=backend,
+    )
+    return tok, name
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mb", type=float, default=8.0, help="corpus size in MB")
+    ap.add_argument("--backend", default="auto", choices=["auto", "host", "tpu"])
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--chunk-kb", type=int, default=256)
+    args = ap.parse_args()
+
+    n_bytes = int(args.mb * 1024 * 1024)
+    corpus = make_corpus(n_bytes)
+    chunk = args.chunk_kb * 1024
+    chunks = [corpus[i : i + chunk] for i in range(0, len(corpus), chunk)]
+
+    tok, name = load_tokenizer(args.backend)
+
+    # Warmup (compile + table build)
+    tok.encode_batch(chunks[:2])
+
+    best = 0.0
+    total_tokens = 0
+    for _ in range(args.runs):
+        t0 = time.perf_counter()
+        ids = tok.encode_batch(chunks)
+        dt = time.perf_counter() - t0
+        mbps = (n_bytes / 1e6) / dt
+        best = max(best, mbps)
+        total_tokens = sum(len(x) for x in ids)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"encode_throughput_{name}",
+                "value": round(best, 2),
+                "unit": "MB/s",
+                "vs_baseline": round(best / BASELINE_MBPS, 3),
+                "detail": {
+                    "corpus_mb": args.mb,
+                    "backend": args.backend,
+                    "tokens": total_tokens,
+                    "baseline_mbps": BASELINE_MBPS,
+                    "baseline_hw": "EPYC 4584PX 1 thread (reference)",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

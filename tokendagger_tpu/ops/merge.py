@@ -63,12 +63,12 @@ def pair_lookup(rows: jnp.ndarray, mask: int, a: jnp.ndarray, b: jnp.ndarray) ->
     return jnp.where((a < 0) | (b < 0), MAX_RANK, out)
 
 
-@partial(jax.jit, static_argnames=("mask",))
-def merge_rows(
+def merge_rows_local(
     byte_buf: jnp.ndarray,   # (R, C) uint8, zero-padded pretoken bytes
     lengths: jnp.ndarray,    # (R,) int32 pretoken byte lengths (0 = padding row)
     byte_rank: jnp.ndarray,  # (256,) int32
     rows: jnp.ndarray,       # pair table rows (nb, 12) int32
+    *,
     mask: int,               # pair table bucket mask (static)
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """BPE-merge every row. Returns (tok (R, C) int32 with -1 at dead slots,
@@ -130,3 +130,9 @@ def merge_rows(
     out = tok[:, :C]
     counts = jnp.sum(out >= 0, axis=1, dtype=jnp.int32)
     return out, counts
+
+
+@partial(jax.jit, static_argnames=("mask",))
+def merge_rows(byte_buf, lengths, byte_rank, rows, mask: int):
+    """Jitted single-device entry point around :func:`merge_rows_local`."""
+    return merge_rows_local(byte_buf, lengths, byte_rank, rows, mask=mask)
