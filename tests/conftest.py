@@ -10,15 +10,19 @@ import os
 import sys
 from pathlib import Path
 
-# Must be set before jax is imported anywhere. Force-set (not setdefault):
-# the machine environment pins JAX_PLATFORMS=axon (the TPU tunnel) and tests
-# must run on virtual CPU devices regardless.
+# Must run before jax initializes its backends. NOTE: the env var alone is
+# NOT reliable on this machine — the axon TPU plugin overrides it — so we
+# import jax here and force the platform through the config API.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))

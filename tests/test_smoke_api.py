@@ -1,0 +1,110 @@
+"""API smoke test — port of the reference's synthetic-vocab demo
+(/root/reference/tests/autogenned_test.py behavior: small vocab + specials,
+decode roundtrip, special-token encode with explicit allowed set, and
+disallowed specials raising ValueError)."""
+
+import pytest
+
+from tokendagger_tpu import (
+    Encoding,
+    Tokenizer,
+    TokenDaggerError,
+    create_tokenizer,
+    load_tokenizer,
+    vocab as vocab_mod,
+)
+from tokendagger_tpu.vocab import LLAMA4_PATTERN
+
+
+@pytest.fixture(scope="module")
+def tok(tiny_vocab):
+    ranks, specials = tiny_vocab
+    return Tokenizer(
+        "smoke",
+        pattern=LLAMA4_PATTERN,
+        mergeable_ranks=ranks,
+        special_tokens=specials,
+        backend="host",
+    )
+
+
+class TestSmoke:
+    def test_roundtrip(self, tok):
+        for text in ["hello world", "the and is", "it's x", "", "  a  b  "]:
+            ids = tok.encode_ordinary(text)
+            assert tok.decode(ids) == text
+
+    def test_special_encode_with_allowed(self, tok):
+        ids = tok.encode("<|bos|>hello<|eos|>", allowed_special={"<|bos|>", "<|eos|>"})
+        assert ids[0] == 5000 and ids[-1] == 5001
+        assert tok.decode(ids) == "<|bos|>hello<|eos|>"
+
+    def test_encode_with_special_tokens(self, tok):
+        ids = tok.encode_with_special_tokens("<|pad|>x")
+        assert ids[0] == 5002
+
+    def test_disallowed_raises(self, tok):
+        with pytest.raises(ValueError, match="bos"):
+            tok.encode("x <|bos|> y", disallowed_special="all")
+
+    def test_unknown_allowed_raises(self, tok):
+        with pytest.raises((TokenDaggerError, KeyError)):
+            tok.encode("x", allowed_special={"<|nope|>"})
+
+    def test_batch_roundtrip(self, tok):
+        texts = ["hello", "the store", ""]
+        batches = tok.encode_batch(texts)
+        assert tok.decode_batch(batches) == texts
+
+    def test_utility_surface(self, tok, tiny_vocab):
+        ranks, specials = tiny_vocab
+        assert tok.n_vocab == tok.max_token_value + 1
+        assert set(tok.special_tokens()) == set(specials)
+        assert tok.special_tokens_set == set(specials)
+        assert tok.is_special_token(5000)
+        assert not tok.is_special_token(0)
+
+    def test_decode_unknown_raises(self, tok):
+        with pytest.raises(TokenDaggerError):
+            tok.decode_bytes([10**7])
+
+    def test_decode_errors_replace(self, tok):
+        # token 200 is a lone continuation byte -> U+FFFD under "replace"
+        s = tok.decode([200], errors="replace")
+        assert s == "�"
+        with pytest.raises(TokenDaggerError):
+            tok.decode([200], errors="strict")
+
+
+class TestFactories:
+    def test_encoding_factory(self, tiny_vocab):
+        ranks, specials = tiny_vocab
+        enc = Encoding("f", pat_str=LLAMA4_PATTERN, mergeable_ranks=ranks,
+                       special_tokens=specials)
+        assert enc.encode_ordinary("hello")
+
+    def test_create_tokenizer(self, tiny_vocab):
+        ranks, specials = tiny_vocab
+        t = create_tokenizer(
+            "c", LLAMA4_PATTERN, vocab_mod.ranks_to_vocab_list(ranks), specials
+        )
+        assert t.encode_ordinary("hello")
+
+    def test_load_tokenizer(self, tiny_vocab, tmp_path):
+        import json
+
+        ranks, specials = tiny_vocab
+        vf = tmp_path / "vocab.json"
+        vf.write_text(json.dumps(vocab_mod.ranks_to_vocab_list(ranks)))
+        sf = tmp_path / "specials.json"
+        sf.write_text(json.dumps(specials))
+        t = load_tokenizer("l", vf, LLAMA4_PATTERN, sf)
+        assert t.encode("x <|bos|>", allowed_special="all")[-1] == 5000
+
+    def test_missing_pattern_raises(self):
+        with pytest.raises(ValueError):
+            Tokenizer("x", vocab={b"a": 0})  # type: ignore[arg-type]
+
+    def test_missing_vocab_raises(self):
+        with pytest.raises(ValueError):
+            Tokenizer("x", pattern=LLAMA4_PATTERN)

@@ -1,0 +1,188 @@
+"""Throughput macro-benchmark — port of the reference's published-numbers
+harness (/root/reference/tests/throughput_test.py — behavior spec: generate
+a synthetic English-like corpus of --text-size MB, split into
+threads x iterations chunks, time encode_batch for each thread count, also
+bench tiktoken and optionally HF fast tokenizers, emit JSON with the same
+schema as throughput_llama_1024mb.json plus TPU-era fields).
+
+    python tests/throughput_test.py --text-size 256 --tokenizer llama \
+        [--threads 1,2,4,8] [--skip-hf] [--backend auto|host|tpu]
+"""
+
+import argparse
+import json
+import random
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REFERENCE = Path("/root/reference")
+
+WORDS = (
+    "the of and to in a is that for it as was with be by on not he this are "
+    "or his from at which but have an they you were her she all would there "
+    "their we him been has when who will no more if out so said what up its "
+    "about into than them can only other new some could time these two may "
+    "then do first any my now such like our over man me even most made after "
+    "also did many before must through back years where much your way well "
+    "down should because each just those people how too little state good "
+    "very make world still own see men work long get here between both life "
+    "being under never day same another know while last might us great old "
+    "year off come since against go came right used take three"
+).split()
+
+
+def generate_corpus(size_mb: float, seed: int = 42) -> str:
+    """Synthetic English-like text (reference corpus style: random common
+    words, sentences, paragraphs — throughput_test.py:246-333)."""
+    rng = random.Random(seed)
+    target = int(size_mb * 1024 * 1024)
+    parts: list[str] = []
+    size = 0
+    while size < target:
+        n = rng.randint(5, 18)
+        words = [rng.choice(WORDS) for _ in range(n)]
+        words[0] = words[0].capitalize()
+        s = " ".join(words) + rng.choice([". ", ". ", "! ", "? "])
+        if rng.random() < 0.1:
+            s += "\n\n"
+        parts.append(s)
+        size += len(s)
+    return "".join(parts)[:target]
+
+
+def chunk_corpus(corpus: str, n_chunks: int) -> list[str]:
+    step = max(1, len(corpus) // n_chunks)
+    return [corpus[i : i + step] for i in range(0, len(corpus), step)]
+
+
+def bench_ours(corpus, thread_counts, iterations, pattern, ranks, specials,
+               backend):
+    import tokendagger_tpu as td
+
+    tok = td.Encoding("bench", pat_str=pattern, mergeable_ranks=ranks,
+                      special_tokens=specials)
+    tok.backend = backend
+    results = []
+    for nt in thread_counts:
+        chunks = chunk_corpus(corpus, nt * iterations)
+        tok.encode_batch(chunks[: nt], num_threads=nt)  # warmup
+        t0 = time.perf_counter()
+        tok.encode_batch(chunks, num_threads=nt)
+        dt = time.perf_counter() - t0
+        mbps = len(corpus) / 1e6 / dt
+        results.append(round(mbps, 2))
+        print(f"  ours     threads={nt:>2}: {mbps:8.2f} MB/s")
+    return results
+
+
+def bench_tiktoken(corpus, thread_counts, iterations, pattern, ranks, specials):
+    import tiktoken
+
+    tok = tiktoken.Encoding("bench", pat_str=pattern, mergeable_ranks=ranks,
+                            special_tokens=specials)
+    results = []
+    for nt in thread_counts:
+        chunks = chunk_corpus(corpus, nt * iterations)
+        tok.encode_ordinary_batch(chunks[: nt], num_threads=nt)
+        t0 = time.perf_counter()
+        tok.encode_ordinary_batch(chunks, num_threads=nt)
+        dt = time.perf_counter() - t0
+        mbps = len(corpus) / 1e6 / dt
+        results.append(round(mbps, 2))
+        print(f"  tiktoken threads={nt:>2}: {mbps:8.2f} MB/s")
+    return results
+
+
+def bench_hf(corpus, thread_counts, iterations):
+    try:
+        from transformers import AutoTokenizer
+    except Exception:  # noqa: BLE001
+        return None
+    try:
+        tok = AutoTokenizer.from_pretrained("gpt2", use_fast=True)
+    except Exception:  # noqa: BLE001
+        return None  # offline environment without cached model
+    results = []
+    for nt in thread_counts:
+        chunks = chunk_corpus(corpus, nt * iterations)
+        tok(chunks[:nt])
+        t0 = time.perf_counter()
+        tok(chunks)
+        dt = time.perf_counter() - t0
+        mbps = len(corpus) / 1e6 / dt
+        results.append(round(mbps, 2))
+        print(f"  hf-fast  threads={nt:>2}: {mbps:8.2f} MB/s")
+    return results
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tokenizer", default="llama", choices=["llama"])
+    ap.add_argument("--text-size", type=float, default=1024,
+                    help="corpus size in MB (reference default: 1024)")
+    ap.add_argument("--iterations", type=int, default=4)
+    ap.add_argument("--threads", default="1,2,4,8,16,32")
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "host", "tpu"])
+    ap.add_argument("--skip-tiktoken", action="store_true")
+    ap.add_argument("--skip-hf", action="store_true")
+    ap.add_argument("--output", default=None, help="JSON output path")
+    args = ap.parse_args()
+
+    thread_counts = [int(x) for x in args.threads.split(",")]
+
+    import tokendagger_tpu as td
+
+    ranks = td.load_tiktoken_model(REFERENCE / "src" / "tokenizer.model")
+    specials = td.load_hf_special_tokens(
+        REFERENCE / "src" / "tokenizer_config.json"
+    )
+    pattern = td.LLAMA4_PATTERN
+
+    print(f"Generating {args.text_size} MB corpus...")
+    corpus = generate_corpus(args.text_size)
+
+    print("Benchmarking tokendagger_tpu:")
+    ours = bench_ours(corpus, thread_counts, args.iterations, pattern, ranks,
+                      specials, args.backend)
+    tk = None
+    if not args.skip_tiktoken:
+        print("Benchmarking tiktoken:")
+        tk = bench_tiktoken(corpus, thread_counts, args.iterations, pattern,
+                            ranks, specials)
+    hf = None
+    if not args.skip_hf:
+        print("Benchmarking HF fast tokenizer:")
+        hf = bench_hf(corpus, thread_counts, args.iterations)
+
+    base = ours[0]
+    print("Scaling efficiency vs 1 thread:")
+    for nt, v in zip(thread_counts, ours):
+        print(f"  threads={nt:>2}: {v / base / nt * 100:6.1f}%")
+
+    out = {
+        "tokenizer_type": args.tokenizer,
+        "text_size_mb": args.text_size,
+        "thread_counts": thread_counts,
+        "tokendagger_throughput": ours,
+        "backend": args.backend,
+    }
+    if tk:
+        out["tiktoken_throughput"] = tk
+        out["speedups"] = [round(a / b, 2) for a, b in zip(ours, tk)]
+    if hf:
+        out["hf_throughput"] = hf
+        out["hf_speedups"] = [round(a / b, 2) for a, b in zip(ours, hf)]
+
+    path = args.output or f"throughput_llama_{int(args.text_size)}mb.json"
+    Path(path).write_text(json.dumps(out, indent=2))
+    print(f"Wrote {path}")
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,40 +1,84 @@
 """Device tokenization engine: batch orchestration around the TPU kernels.
 
-Pipeline (host-pretokenized path):
+Two device paths:
 
-  texts --host regex/special scan--> pretoken pieces
-        --dedupe + whole-piece vocab fast path--> unresolved pieces
-        --length-bucketed packing--> (R, C) uint8 buffers
-        --ops.merge.merge_rows on device--> token ids per piece
-        --reassembly--> per-text id lists
+**Stream path** (patterns in the supported tiktoken family — Llama-4 and
+Tekken): the raw byte stream goes to the device once; the pretokenizer scan
+(ops/pretokenize.py) and the BPE merge (ops/encode_pipeline.py) both run on
+device. The host only bins piece indices into width buckets (vectorized
+numpy) and assembles flat id arrays. Pipeline per segment:
 
-The whole-piece direct-lookup fast path mirrors the reference's encode()
-fast path (/root/reference/src/tiktoken/tiktoken.cpp:210-215) and is exact.
-Deduplication is a pure memoization: identical pieces always produce
-identical ids, so each distinct piece is merged once per batch.
+  bytes → [device] scan → (starts, lens, n_pieces)
+        → [host]   width-bucket binning (numpy)
+        → [device] gather rows from the stream + row-parallel merge
+        → [host]   flat assembly via cumsum scatter (numpy)
 
-The device-DFA pretokenizer (ops/dfa_scan) replaces the host regex split on
-the pure-device path; this module routes between them.
+**Piece path** (fallback for arbitrary regex patterns): host regex split,
+pieces packed into bucketed rows, device merge. Exact for any pattern.
+
+Both paths produce ids byte-identical to the host oracle / tiktoken.
+The whole-piece vocab fast path of the reference
+(/root/reference/src/tiktoken/tiktoken.cpp:210-215) is semantically a no-op
+for well-formed vocabs (its encode_ordinary skips it, tiktoken.cpp:162);
+the stream path relies on merge exactness instead of replicating it.
 """
 
 from __future__ import annotations
 
-from typing import AbstractSet, Sequence
+from typing import AbstractSet, Iterator, Sequence
 
 import numpy as np
 
 from .hostengine import HostEngine, byte_pair_merge
 from .tables import build_tables
+from .vocab import classify_pattern
 
-# Length buckets for packed merge rows. Pieces longer than the last bucket
-# take the exact host merge fallback (pretokens that long are vanishingly
-# rare: the split pattern bounds most pieces to words/short runs).
+# Width buckets for packed merge rows. Pieces longer than the last bucket
+# take the exact host merge fallback (rare: pattern alternatives bound most
+# pieces to words/short runs; only pathological punct/whitespace runs exceed).
 BUCKET_WIDTHS = (16, 64, 256)
-MAX_ROWS = 1 << 16
+
+# All device calls use a small FIXED set of shapes: scan windows of
+# SCAN_SIZES bytes and merge batches of MERGE_ROWS rows. Fixed shapes bound
+# XLA compile time (CPU-backend compile scales with shape and is flaky at
+# huge shapes), maximize jit-cache reuse across arbitrary input sizes, and
+# let long segments stream through the same compiled programs.
+SCAN_SIZES = (1 << 12, 1 << 16, 1 << 20)
+MERGE_ROWS = 1 << 13
+
+# Lookahead slack past a run boundary that a match decision can inspect
+# (contraction suffix <= 3 chars + the (?!\S) peek; chars <= 4 bytes).
+CUT_SLACK = 16
 
 
-def _next_pow2(n: int) -> int:
-    return 1 << max(7, (n - 1).bit_length())
+def _pow2(n: int, lo: int = 128) -> int:
+    return max(lo, 1 << max(0, (n - 1).bit_length()))
+
+
+_CACHE_ENABLED = False
+
+
+def _enable_persistent_compile_cache(jax_mod) -> None:
+    """Persist XLA compiles across processes (fixed-shape programs make
+    this a near-perfect cache)."""
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED:
+        return
+    _CACHE_ENABLED = True
+    try:
+        import os
+        from pathlib import Path
+
+        d = Path(
+            os.environ.get(
+                "TOKENDAGGER_TPU_CACHE", Path.home() / ".cache" / "tokendagger_tpu"
+            )
+        ) / "xla_cache"
+        d.mkdir(parents=True, exist_ok=True)
+        jax_mod.config.update("jax_compilation_cache_dir", str(d))
+        jax_mod.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        pass
 
 
 class DeviceEngine:
@@ -45,9 +89,12 @@ class DeviceEngine:
         special_tokens: dict[str, int],
         *,
         vocab_fastpath: bool = True,
+        stream: bool | None = None,
     ):
+        import jax
         import jax.numpy as jnp  # lazy so host-only users never pay for jax
 
+        self._jax = jax
         self._jnp = jnp
         self.host = HostEngine(pattern, mergeable_ranks, special_tokens)
         self.ranks = self.host.ranks
@@ -59,9 +106,212 @@ class DeviceEngine:
         self._pair_mask = int(self.tables.pair.mask)
         self._missing_bytes = bool((self.tables.byte_rank < 0).any())
 
-    # ------------------------------------------------------------------
-    # Piece-level encoding (the device hot path)
-    # ------------------------------------------------------------------
+        kind = classify_pattern(pattern)
+        if stream is None:
+            stream = (
+                kind is not None
+                and not self._missing_bytes
+                # merge-only encode == tiktoken's lookup-then-merge only
+                # when every vocab token is merge-reachable (tables.py)
+                and self.tables.all_reachable
+            )
+        self.stream = stream
+        self._contractions = kind != "nocontract"
+        if self.stream:
+            from .scanner_ref import _fold_id_table
+            from .unicode_tables import get_tables
+
+            _enable_persistent_compile_cache(jax)
+            classes, _ = get_tables()
+            self._classes = jnp.asarray(classes)
+            self._fold_id = jnp.asarray(_fold_id_table())
+            # the CPU backend's compile time scales with shape; keep its
+            # scan windows small (the CPU device path exists for tests)
+            self._window = (
+                SCAN_SIZES[1] if jax.default_backend() == "cpu"
+                else SCAN_SIZES[-1]
+            )
+
+    # ==================================================================
+    # Stream path (fixed-shape windowed scanning)
+    # ==================================================================
+    def _safe_cut_threshold(self, window: bytes) -> int:
+        """Largest byte offset rs such that every piece ending <= rs is
+        unaffected by bytes beyond the window (see module docstring of
+        ops/pretokenize.py): rs = start of the character-class run touching
+        the window edge, minus lookahead slack."""
+        from .unicode_tables import LC, LETTER, NUM, UC, WS, get_tables
+
+        classes, _ = get_tables()
+        # decode a bounded tail; align to a char boundary first
+        tail_n = min(len(window), 8192)
+        t0 = len(window) - tail_n
+        while t0 < len(window) and (window[t0] & 0xC0) == 0x80:
+            t0 += 1
+        tail = window[t0:].decode("utf-8", errors="ignore")
+        if not tail:
+            return max(0, t0 - CUT_SLACK)
+        cps = np.frombuffer(tail.encode("utf-32-le"), dtype=np.uint32)
+        cls = classes[cps.astype(np.int64)]
+
+        def coarse(c: np.ndarray) -> np.ndarray:
+            ws = (c & WS) != 0
+            wd = (c & (UC | LC | LETTER)) != 0
+            num = (c & NUM) != 0
+            return np.where(ws, 0, np.where(num & ~wd, 1, np.where(wd, 2, 3)))
+
+        co = coarse(cls)
+        same = co == co[-1]
+        # last index where the class differs -> run start is one past it
+        diff = np.nonzero(~same)[0]
+        if len(diff) == 0:
+            run_start_char = 0
+        else:
+            run_start_char = int(diff[-1]) + 1
+        # byte offset of run_start_char within the tail
+        run_start_b = t0 + len(tail[:run_start_char].encode("utf-8"))
+        return max(0, run_start_b - CUT_SLACK)
+
+    def _scan_window(self, window: bytes, is_final: bool):
+        """Device-scan one window; return (starts, lens, consumed_bytes).
+
+        For non-final windows, trailing pieces that could be affected by
+        unseen bytes are dropped and re-scanned in the next window.
+        """
+        jnp = self._jnp
+        from .ops.pretokenize import scan_bytes
+
+        n = len(window)
+        N = next(s for s in SCAN_SIZES if s >= n)
+        buf = np.zeros(N, dtype=np.uint8)
+        buf[:n] = np.frombuffer(window, dtype=np.uint8)
+        dev = jnp.asarray(buf)
+        start_b, piece_len, n_pieces = scan_bytes(
+            dev,
+            jnp.int32(n),
+            self._classes,
+            self._fold_id,
+            contractions=self._contractions,
+        )
+        k = int(n_pieces)
+        if k == 0:
+            return dev, np.zeros(0, np.int32), np.zeros(0, np.int32), n
+        starts = np.asarray(start_b[:k])
+        lens = np.asarray(piece_len[:k])
+        if is_final:
+            return dev, starts, lens, n
+        rs = self._safe_cut_threshold(window)
+        ends = starts + lens
+        keep = ends <= rs
+        kk = int(np.count_nonzero(keep))
+        if kk == 0:
+            return dev, starts[:0], lens[:0], 0  # caller grows the window
+        consumed = int(ends[kk - 1])
+        return dev, starts[:kk], lens[:kk], consumed
+
+    def _merge_pieces(self, data: bytes, dev, starts: np.ndarray,
+                      lens: np.ndarray) -> np.ndarray:
+        """Device-merge scanned pieces (fixed-shape batches); returns the
+        flat id array for these pieces in order."""
+        jnp = self._jnp
+        from .ops.encode_pipeline import gather_merge
+
+        k = len(starts)
+        if k == 0:
+            return np.zeros(0, dtype=np.int64)
+
+        launches = []  # (rows_idx, tok_dev, counts_dev)
+        prev_w = 0
+        for w in BUCKET_WIDTHS:
+            sel = np.nonzero((lens > prev_w) & (lens <= w))[0]
+            prev_w = w
+            if len(sel) == 0:
+                continue
+            for lo in range(0, len(sel), MERGE_ROWS):
+                rows = sel[lo : lo + MERGE_ROWS]
+                R = MERGE_ROWS if len(rows) > 512 else 512
+                s = np.zeros(R, dtype=np.int32)
+                l = np.zeros(R, dtype=np.int32)
+                s[: len(rows)] = starts[rows]
+                l[: len(rows)] = lens[rows]
+                tok, counts = gather_merge(
+                    dev,
+                    jnp.asarray(s),
+                    jnp.asarray(l),
+                    self._byte_rank,
+                    self._pair_rows,
+                    self._pair_mask,
+                    w,
+                )
+                launches.append((rows, tok, counts))
+        ovf = np.nonzero(lens > BUCKET_WIDTHS[-1])[0]
+        overflow_rows = [
+            (int(r), byte_pair_merge(
+                data[starts[r] : starts[r] + lens[r]], self.ranks
+            ))
+            for r in ovf
+        ]
+
+        all_counts = np.zeros(k, dtype=np.int64)
+        pieces_tok = []
+        for rows, tok, counts in launches:
+            tok_np = np.asarray(tok)[: len(rows)]
+            cnt_np = np.asarray(counts)[: len(rows)].astype(np.int64)
+            all_counts[rows] = cnt_np
+            pieces_tok.append((rows, tok_np, cnt_np))
+        for r, ids in overflow_rows:
+            all_counts[r] = len(ids)
+        out_pos = np.zeros(k + 1, dtype=np.int64)
+        np.cumsum(all_counts, out=out_pos[1:])
+        total = int(out_pos[-1])
+        flat = np.empty(total, dtype=np.int64)
+        for rows, tok_np, cnt_np in pieces_tok:
+            live = tok_np >= 0
+            vals = tok_np[live]  # row-major == token order
+            if len(vals) == 0:
+                continue
+            row_base = np.repeat(out_pos[rows], cnt_np)
+            within = np.arange(len(vals)) - np.repeat(
+                np.cumsum(cnt_np) - cnt_np, cnt_np
+            )
+            flat[row_base + within] = vals
+        for r, ids in overflow_rows:
+            flat[out_pos[r] : out_pos[r] + len(ids)] = ids
+        return flat
+
+    def encode_stream(self, data: bytes) -> np.ndarray:
+        """Ordinary-encode one byte segment via the windowed device
+        pipeline. Arbitrary length; all device calls use fixed shapes."""
+        out: list[np.ndarray] = []
+        base = 0
+        n = len(data)
+        win = self._window
+        while base < n:
+            window = data[base : base + win]
+            is_final = base + len(window) >= n
+            dev, starts, lens, consumed = self._scan_window(window, is_final)
+            if consumed == 0:
+                # no safe cut inside the window: a single class run spans
+                # it. Exact host fallback for the run's full extent.
+                ids = self.host.encode_ordinary(
+                    data[base:].decode("utf-8", errors="strict")
+                )
+                out.append(np.asarray(ids, dtype=np.int64))
+                base = n
+                break
+            out.append(self._merge_pieces(window, dev, starts, lens))
+            base += consumed
+        if not out:
+            return np.zeros(0, dtype=np.int64)
+        return np.concatenate(out)
+
+    def encode_streams(self, segments: list[bytes]) -> list[np.ndarray]:
+        """Ordinary-encode each byte segment via the device pipeline."""
+        return [self.encode_stream(s) for s in segments]
+
+    # ==================================================================
+    # Piece path (host split fallback; exact for any pattern)
+    # ==================================================================
     def encode_pieces(self, pieces: list[bytes]) -> list[list[int]]:
         """Encode a list of pretoken byte strings, exactly.
 
@@ -108,9 +358,9 @@ class DeviceEngine:
                     break
 
         for w, idxs in by_bucket.items():
-            for lo in range(0, len(idxs), MAX_ROWS):
-                chunk = idxs[lo : lo + MAX_ROWS]
-                R = _next_pow2(len(chunk))
+            for lo in range(0, len(idxs), MERGE_ROWS):
+                chunk = idxs[lo : lo + MERGE_ROWS]
+                R = _pow2(len(chunk))
                 buf = np.zeros((R, w), dtype=np.uint8)
                 lens = np.zeros(R, dtype=np.int32)
                 for row, i in enumerate(chunk):
@@ -130,15 +380,20 @@ class DeviceEngine:
                     out[i] = ids[ids >= 0].tolist()
         return out  # type: ignore[return-value]
 
-    # ------------------------------------------------------------------
+    # ==================================================================
     # Text-level encoding
-    # ------------------------------------------------------------------
+    # ==================================================================
     def encode_ordinary_batch(self, texts: list[str]) -> list[list[int]]:
+        if self.stream:
+            flats = self.encode_streams([t.encode("utf-8") for t in texts])
+            return [f.tolist() for f in flats]
         pieces: list[bytes] = []
         spans: list[tuple[int, int]] = []  # (start, end) into pieces per text
         for text in texts:
             s = len(pieces)
-            pieces.extend(m.group().encode("utf-8") for m in self.host._re.finditer(text))
+            pieces.extend(
+                m.group().encode("utf-8") for m in self.host._re.finditer(text)
+            )
             spans.append((s, len(pieces)))
         encoded = self.encode_pieces(pieces)
         out = []
@@ -152,9 +407,41 @@ class DeviceEngine:
     def encode_batch(
         self, texts: list[str], allowed_special: AbstractSet[str]
     ) -> list[list[int]]:
-        """Full encode semantics (special-token scan on host, merge on
+        """Full encode semantics (special-token scan on host, split+merge on
         device), batched across all texts' ordinary segments."""
-        # Per text: alternating plan of ("seg", piece_range) / ("sp", id)
+        if self.stream:
+            return self._encode_batch_stream(texts, allowed_special)
+        return self._encode_batch_pieces(texts, allowed_special)
+
+    def _encode_batch_stream(
+        self, texts: list[str], allowed_special: AbstractSet[str]
+    ) -> list[list[int]]:
+        segments: list[bytes] = []
+        plans: list[list[tuple[str, object]]] = []
+        for text in texts:
+            plan: list[tuple[str, object]] = []
+            for seg_text, special_id in self._split_specials(text, allowed_special):
+                if special_id is not None:
+                    plan.append(("sp", special_id))
+                else:
+                    plan.append(("seg", len(segments)))
+                    segments.append(seg_text.encode("utf-8"))
+            plans.append(plan)
+        flats = self.encode_streams(segments)
+        out = []
+        for plan in plans:
+            ids: list[int] = []
+            for kind, payload in plan:
+                if kind == "sp":
+                    ids.append(payload)  # type: ignore[arg-type]
+                else:
+                    ids.extend(flats[payload].tolist())  # type: ignore[index]
+            out.append(ids)
+        return out
+
+    def _encode_batch_pieces(
+        self, texts: list[str], allowed_special: AbstractSet[str]
+    ) -> list[list[int]]:
         pieces: list[bytes] = []
         plans: list[list[tuple[str, object]]] = []
         for text in texts:
@@ -184,22 +471,7 @@ class DeviceEngine:
             out.append(ids)
         return out
 
-    def _split_specials(self, text: str, allowed: AbstractSet[str]):
-        """Yield (segment_text, None) and ("", special_id) in order, using
-        the host engine's cached-position scan semantics."""
-        for tok in allowed:
-            if tok not in self.host.special_tokens:
-                raise KeyError(f"Unknown special token: {tok!r}")
-        allowed_sorted = [t for t in self.host._specials_by_len if t in allowed]
-        cache: dict[str, int] = {}
-        start = 0
-        n = len(text)
-        while start <= n:
-            pos, tok = self.host._find_next_special(text, start, allowed_sorted, cache)
-            end = pos if pos != -1 else n
-            if start < end:
-                yield text[start:end], None
-            if tok is None:
-                return
-            yield "", self.host.special_tokens[tok]
-            start = end + len(tok)
+    def _split_specials(
+        self, text: str, allowed: AbstractSet[str]
+    ) -> Iterator[tuple[str, int | None]]:
+        return self.host.split_specials(text, allowed)

@@ -124,12 +124,18 @@ class HostEngine:
     def encode_ordinary(self, text: str) -> list[int]:
         """Encode ignoring special tokens.
 
-        Faithful to the reference: no whole-piece fast path here
-        (tiktoken.cpp:156-167) — results are identical either way for
-        well-formed BPE vocabs."""
+        Includes the whole-piece direct-lookup fast path, matching the
+        tiktoken oracle (the reference C++ omits it here with a TODO,
+        tiktoken.cpp:162 — identical results for merge-closed vocabs, but
+        tiktoken's behavior is the conformance target for the rest)."""
         out: list[int] = []
         for m in self._re.finditer(text):
-            out.extend(byte_pair_encode(m.group().encode("utf-8"), self.ranks))
+            piece = m.group().encode("utf-8")
+            r = self.ranks.get(piece)
+            if r is not None:
+                out.append(r)
+            else:
+                out.extend(byte_pair_encode(piece, self.ranks))
         return out
 
     def _find_next_special(
@@ -212,6 +218,27 @@ class HostEngine:
     def encode_with_special_tokens(self, text: str) -> list[int]:
         tokens, _ = self.encode(text, set(self.special_tokens))
         return tokens
+
+    def split_specials(self, text: str, allowed: AbstractSet[str]):
+        """Yield (segment_text, None) / ("", special_id) in document order,
+        with the cached-position scan semantics of the reference
+        (tiktoken.cpp:130-154). Raises KeyError on unknown allowed token."""
+        for tok in allowed:
+            if tok not in self.special_tokens:
+                raise KeyError(f"Unknown special token: {tok!r}")
+        allowed_sorted = [t for t in self._specials_by_len if t in allowed]
+        cache: dict[str, int] = {}
+        start = 0
+        n = len(text)
+        while start <= n:
+            pos, tok = self._find_next_special(text, start, allowed_sorted, cache)
+            end = pos if pos != -1 else n
+            if start < end:
+                yield text[start:end], None
+            if tok is None:
+                return
+            yield "", self.special_tokens[tok]
+            start = end + len(tok)
 
     # ------------------------------------------------------------------
     # Decoding

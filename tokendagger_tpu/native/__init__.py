@@ -1,0 +1,186 @@
+"""Native host runtime loader.
+
+Compiles tdnative.cpp on first use (g++, cached by source hash in the
+tokendagger cache dir) and exposes it via ctypes. Every call releases the
+GIL (ctypes does so inherently), so ThreadPoolExecutor batch encoding
+scales across real cores — the TPU-era equivalent of the reference's
+GIL-released pybind11 calls (/root/reference/src/py_binding.cpp:26-44).
+
+If no C++ toolchain is available the package falls back to the pure-Python
+host engine transparently (`get_native() -> None`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_SRC = Path(__file__).with_name("tdnative.cpp")
+_LOCK = threading.Lock()
+_LIB: ctypes.CDLL | None = None
+_LIB_FAILED = False
+
+
+def _cache_dir() -> Path:
+    d = Path(
+        os.environ.get(
+            "TOKENDAGGER_TPU_CACHE", Path.home() / ".cache" / "tokendagger_tpu"
+        )
+    )
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def _build() -> Path | None:
+    src = _SRC.read_bytes()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    out = _cache_dir() / f"tdnative_{tag}.so"
+    if out.exists():
+        return out
+    tmp = out.with_suffix(".tmp.so")
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        str(_SRC), "-o", str(tmp),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except (OSError, subprocess.SubprocessError):
+        return None
+    os.replace(tmp, out)
+    return out
+
+
+def get_lib() -> ctypes.CDLL | None:
+    global _LIB, _LIB_FAILED
+    if _LIB is not None or _LIB_FAILED:
+        return _LIB
+    with _LOCK:
+        if _LIB is not None or _LIB_FAILED:
+            return _LIB
+        path = _build()
+        if path is None:
+            _LIB_FAILED = True
+            return None
+        lib = ctypes.CDLL(str(path))
+        lib.td_create.restype = ctypes.c_void_p
+        lib.td_create.argtypes = [
+            ctypes.c_void_p,  # classes
+            ctypes.c_void_p,  # fold
+            ctypes.c_void_p,  # pair_rows
+            ctypes.c_int64,   # nbuckets
+            ctypes.c_int32,   # mask
+            ctypes.c_void_p,  # byte_rank
+            ctypes.c_int,     # contractions
+        ]
+        lib.td_destroy.argtypes = [ctypes.c_void_p]
+        lib.td_scan.restype = ctypes.c_int64
+        lib.td_scan.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.td_encode.restype = ctypes.c_int64
+        lib.td_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.td_set_vocab.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        _LIB = lib
+        return _LIB
+
+
+class NativeEngine:
+    """Native scan+merge over one vocab. Thread-safe (stateless calls)."""
+
+    def __init__(
+        self,
+        pair_rows: np.ndarray,
+        pair_mask: int,
+        byte_rank: np.ndarray,
+        *,
+        contractions: bool,
+        ranks: dict[bytes, int] | None = None,
+    ):
+        from ..scanner_ref import _fold_id_table
+        from ..unicode_tables import get_tables
+
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        classes, _ = get_tables()
+        # keep referenced: the C side borrows these buffers
+        self._classes = np.ascontiguousarray(classes, dtype=np.uint8)
+        self._fold = np.ascontiguousarray(_fold_id_table(), dtype=np.int8)
+        self._pair_rows = np.ascontiguousarray(pair_rows, dtype=np.int32)
+        self._byte_rank = np.ascontiguousarray(byte_rank, dtype=np.int32)
+        self._h = lib.td_create(
+            self._classes.ctypes.data,
+            self._fold.ctypes.data,
+            self._pair_rows.ctypes.data,
+            self._pair_rows.shape[0],
+            pair_mask,
+            self._byte_rank.ctypes.data,
+            1 if contractions else 0,
+        )
+        if not self._h:
+            raise RuntimeError("td_create failed")
+        if ranks:
+            # whole-piece vocab hash (the reference's encode() fast path)
+            keys = list(ranks.keys())
+            blob = b"".join(keys)
+            self._vocab_blob = np.frombuffer(blob, dtype=np.uint8)
+            lens = np.fromiter((len(k) for k in keys), dtype=np.int32, count=len(keys))
+            offs = np.zeros(len(keys), dtype=np.int64)
+            offs[1:] = np.cumsum(lens[:-1], dtype=np.int64)
+            self._vocab_offs = offs
+            self._vocab_lens = lens
+            self._vocab_ranks = np.fromiter(
+                (ranks[k] for k in keys), dtype=np.int32, count=len(keys)
+            )
+            lib.td_set_vocab(
+                self._h,
+                self._vocab_blob.ctypes.data,
+                self._vocab_offs.ctypes.data,
+                self._vocab_lens.ctypes.data,
+                self._vocab_ranks.ctypes.data,
+                len(keys),
+            )
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.td_destroy(h)
+            self._h = None
+
+    def scan(self, data: bytes) -> np.ndarray:
+        """Piece start byte offsets (with end sentinel appended)."""
+        n = len(data)
+        starts = np.empty(n + 1, dtype=np.int32)
+        cnt = self._lib.td_scan(
+            self._h, data, n, starts.ctypes.data, n + 1
+        )
+        if cnt < 0:
+            raise RuntimeError("td_scan capacity error")
+        return starts[: cnt + 1]
+
+    def encode(self, data: bytes) -> np.ndarray | None:
+        """Ordinary-encode one segment. None => caller must fall back."""
+        n = len(data)
+        if n == 0:
+            return np.empty(0, dtype=np.int32)
+        out = np.empty(n, dtype=np.int32)
+        cnt = self._lib.td_encode(self._h, data, n, out.ctypes.data, n)
+        if cnt == -2:
+            return None  # vocab lacks single-byte ranks
+        if cnt < 0:
+            raise RuntimeError("td_encode capacity error")
+        return out[:cnt]

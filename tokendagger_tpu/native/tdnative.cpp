@@ -1,0 +1,477 @@
+// tokendagger_tpu native host runtime.
+//
+// C++ implementations of the host-side hot paths, mirroring the role of the
+// reference's C++ engine (/root/reference/src/tiktoken/tiktoken.cpp — design
+// studied, code written fresh for this architecture):
+//
+//   * td_scan    — pretokenizer over UTF-8 bytes, same class-run algorithm
+//                  as scanner_ref.py / ops/pretokenize.py (the fuzz-verified
+//                  decomposition of the tiktoken pattern family into
+//                  per-alternative greedy matchers).
+//   * td_encode  — scan + exact sequential BPE merge, emitting token ids.
+//                  The merge is keyed by *token-id pairs* against the same
+//                  two-choice bucketed hash table the TPU kernels use
+//                  (tables.py), so host and device share one compiled vocab
+//                  artifact and one hash function.
+//
+// All entry points are plain C ABI for ctypes; they hold no GIL and no
+// global state, so Python ThreadPoolExecutor fan-out scales across cores
+// (the reference's thread-DP model, wrapper.py:234-235 / py_binding.cpp:26).
+//
+// Build: g++ -O3 -march=native -shared -fPIC tdnative.cpp -o tdnative.so
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int32_t MAX_RANK = 0x7FFFFFFF;
+
+// class bits (must match unicode_tables.py)
+constexpr uint8_t WS = 0x01;
+constexpr uint8_t RN = 0x02;
+constexpr uint8_t LETTER = 0x04;
+constexpr uint8_t NUM = 0x08;
+constexpr uint8_t UC = 0x10;
+constexpr uint8_t LC = 0x20;
+
+// fold-letter ids (must match scanner_ref._FOLD_ORDER = "strevmld")
+enum FoldId : int8_t { F_S = 0, F_T, F_R, F_E, F_V, F_M, F_L, F_D };
+
+struct VocabSlot {  // 12 bytes: keeps the table L2/L3-resident
+  uint32_t fp;       // hash fingerprint; 0 = empty slot
+  uint32_t off_len;  // (off << 8) | len ; blob <= 16 MB, token <= 255 B
+  int32_t rank;
+};
+
+struct Tables {
+  const uint8_t* classes;    // 0x110000
+  const int8_t* fold;       // 0x110000
+  const int32_t* pair_rows;  // (nbuckets, 12)
+  int64_t nbuckets;
+  uint32_t mask;
+  const int32_t* byte_rank;  // 256
+  int contractions;
+  // whole-piece vocab hash (optional; reference fast path
+  // /root/reference/src/tiktoken/tiktoken.cpp:210-215)
+  std::vector<VocabSlot> vocab;
+  uint64_t vocab_mask = 0;
+  const uint8_t* keys_blob = nullptr;
+  // byte-pair LUT: rank of the 2-byte token (b0,b1), MAX_RANK if absent.
+  // Covers every lookup of the merge's init pass (all parts are bytes) in
+  // 256 KB of cache instead of the big id-pair hash.
+  std::vector<int32_t> pair_lut;  // 256*256
+};
+
+inline uint64_t fnv1a(const uint8_t* p, int64_t n) {
+  uint64_t h = 1469598103934665603ull;
+  for (int64_t i = 0; i < n; ++i) {
+    h ^= p[i];
+    h *= 1099511628211ull;
+  }
+  return h;
+}
+
+inline int32_t vocab_lookup(const Tables* t, const uint8_t* p, int64_t n) {
+  if (!t->vocab_mask || n > 255) return -1;
+  uint64_t h = fnv1a(p, n);
+  uint32_t fp = (uint32_t)(h >> 32) | 1u;  // nonzero fingerprint
+  uint64_t i = h & t->vocab_mask;
+  for (;;) {
+    const VocabSlot& s = t->vocab[i];
+    if (s.fp == 0) return -1;
+    if (s.fp == fp && (s.off_len & 0xFF) == (uint32_t)n &&
+        std::memcmp(t->keys_blob + (s.off_len >> 8), p, n) == 0)
+      return s.rank;
+    i = (i + 1) & t->vocab_mask;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// pair-table lookup (bit-identical to tables._mix_hash / ops.merge._mix)
+// ---------------------------------------------------------------------------
+inline uint32_t mix(uint32_t a, uint32_t b, uint32_t c1, uint32_t c2,
+                    uint32_t c3, uint32_t mask) {
+  uint32_t h = a * c1 + b * c2;
+  h ^= h >> 16;
+  h *= c3;
+  h ^= h >> 15;
+  return h & mask;
+}
+
+inline int32_t pair_lookup(const Tables* t, int32_t a, int32_t b) {
+  if (a < 0 || b < 0) return MAX_RANK;
+  static const uint32_t M[2][3] = {{0x9E3779B1u, 0x85EBCA77u, 0x7FEB352Du},
+                                   {0xC2B2AE3Du, 0x27D4EB2Fu, 0x165667B1u}};
+  for (int which = 0; which < 2; ++which) {
+    uint32_t h = mix((uint32_t)a, (uint32_t)b, M[which][0], M[which][1],
+                     M[which][2], t->mask);
+    const int32_t* row = t->pair_rows + (int64_t)h * 12;
+    for (int s = 0; s < 4; ++s) {
+      if (row[s] == a && row[4 + s] == b) return row[8 + s];
+    }
+  }
+  return MAX_RANK;
+}
+
+// ---------------------------------------------------------------------------
+// Byte-level scanner: match length in BYTES at a byte position, decoding
+// UTF-8 on the fly (no char-array materialization, no allocations).
+// Logic mirrors scanner_ref.py's per-alternative derivation exactly.
+// ---------------------------------------------------------------------------
+struct BScan {
+  const Tables* t;
+  const uint8_t* end;
+
+  // decode char at p (assumed valid UTF-8; truncated tails decode as the
+  // lead byte alone, matching Python str encoding invariants)
+  inline const uint8_t* dec(const uint8_t* p, int32_t* cp) const {
+    uint8_t b = p[0];
+    if (b < 0x80) {
+      *cp = b;
+      return p + 1;
+    }
+    if (b < 0xE0 && p + 1 < end) {
+      *cp = ((b & 0x1F) << 6) | (p[1] & 0x3F);
+      return p + 2;
+    }
+    if (b < 0xF0 && p + 2 < end) {
+      *cp = ((b & 0x0F) << 12) | ((p[1] & 0x3F) << 6) | (p[2] & 0x3F);
+      return p + 3;
+    }
+    if (p + 3 < end) {
+      int32_t c = ((b & 0x07) << 18) | ((p[1] & 0x3F) << 12) |
+                  ((p[2] & 0x3F) << 6) | (p[3] & 0x3F);
+      *cp = c < 0x110000 ? c : 0;
+      return p + 4;
+    }
+    *cp = b < 0x80 ? b : 0;
+    return p + 1;
+  }
+
+  inline uint8_t cls(int32_t cp) const { return t->classes[cp]; }
+
+  // fused [UC]*[LC]+ / [UC]+[LC]* matcher at q.
+  // Returns match end (nullptr if none); *isA1 says which alternative.
+  const uint8_t* word(const uint8_t* q, bool* isA1) const {
+    const uint8_t* p = q;
+    const uint8_t* last_lc_end = nullptr;
+    // phase 1: UC prefix (tracking overlap chars that are also LC)
+    while (p < end) {
+      int32_t c;
+      const uint8_t* np = dec(p, &c);
+      uint8_t k = cls(c);
+      if (!(k & UC)) break;
+      p = np;
+      if (k & LC) last_lc_end = np;
+    }
+    const uint8_t* p_end = p;
+    // phase 2: LC continuation
+    bool found = false;
+    while (p < end) {
+      int32_t c;
+      const uint8_t* np = dec(p, &c);
+      if (!(cls(c) & LC)) break;
+      p = np;
+      found = true;
+    }
+    if (found) {
+      *isA1 = true;
+      return p;  // [UC-prefix][LC-run]
+    }
+    if (last_lc_end) {
+      *isA1 = true;  // all-UC run: backtrack to last UC&LC overlap char
+      return last_lc_end;
+    }
+    if (p_end > q) {
+      *isA1 = false;  // pure-UC run: [UC]+[LC]* with empty LC*
+      return p_end;
+    }
+    return nullptr;
+  }
+
+  // contraction suffix end at e ('s|'t|'re|'ve|'m|'ll|'d, case-folded)
+  inline const uint8_t* ct(const uint8_t* e) const {
+    if (!t->contractions || e >= end || *e != '\'') return e;
+    const uint8_t* p = e + 1;
+    if (p >= end) return e;
+    int32_t c1;
+    const uint8_t* p2 = dec(p, &c1);
+    int8_t f1 = t->fold[c1];
+    if (f1 == F_S || f1 == F_T || f1 == F_M || f1 == F_D) return p2;
+    if ((f1 == F_R || f1 == F_V || f1 == F_L) && p2 < end) {
+      int32_t c2;
+      const uint8_t* p3 = dec(p2, &c2);
+      int8_t f2 = t->fold[c2];
+      if (((f1 == F_R || f1 == F_V) && f2 == F_E) ||
+          (f1 == F_L && f2 == F_L))
+        return p3;
+    }
+    return e;
+  }
+
+  // match end (byte pointer) for the match starting at p (p < end)
+  const uint8_t* match_end(const uint8_t* p) const {
+    int32_t c0;
+    const uint8_t* p1ptr = dec(p, &c0);
+    uint8_t k0 = cls(c0);
+
+    // word alternatives (A1 before A2; prefix-greedy within each)
+    bool pfx_ok = !(k0 & (RN | LETTER | NUM));
+    const uint8_t* wpre = nullptr;
+    bool wpreA1 = false;
+    if (pfx_ok && p1ptr < end) wpre = word(p1ptr, &wpreA1);
+    if (wpre && wpreA1) return ct(wpre);
+    if (k0 & (UC | LC)) {
+      bool a1;
+      const uint8_t* w = word(p, &a1);
+      if (w && a1) return ct(w);
+      if (wpre) return ct(wpre);  // A2 with prefix
+      if (w) return ct(w);        // A2 without prefix
+    } else if (wpre) {
+      return ct(wpre);  // A2 with prefix (start char not word-class)
+    }
+
+    // A3: \p{N}{1,3}
+    if (k0 & NUM) {
+      const uint8_t* q = p1ptr;
+      for (int i = 1; i < 3 && q < end; ++i) {
+        int32_t c;
+        const uint8_t* nq = dec(q, &c);
+        if (!(cls(c) & NUM)) break;
+        q = nq;
+      }
+      return q;
+    }
+
+    // A4: ' '? [^\s\p{L}\p{N}]+ [\r\n/]*
+    {
+      const uint8_t* q = nullptr;
+      if (c0 == ' ')
+        q = p1ptr;
+      else if (!(k0 & (WS | LETTER | NUM)))
+        q = p;
+      if (q) {
+        const uint8_t* e = q;
+        while (e < end) {
+          int32_t c;
+          const uint8_t* ne = dec(e, &c);
+          uint8_t k = cls(c);
+          if ((k & (WS | LETTER | NUM))) break;
+          e = ne;
+        }
+        if (e > q) {
+          while (e < end && (*e == '\r' || *e == '\n' || *e == '/')) ++e;
+          return e;
+        }
+        // space with no punct after: fall through to whitespace family
+      }
+    }
+
+    // A5/A6/A7: whitespace family
+    if (k0 & WS) {
+      const uint8_t* q = p;
+      const uint8_t* prev_start = p;       // start of last ws char
+      const uint8_t* last_rn_end = nullptr;
+      while (q < end) {
+        int32_t c;
+        const uint8_t* nq = dec(q, &c);
+        if (!(cls(c) & WS)) break;
+        prev_start = q;
+        if (c == '\r' || c == '\n') last_rn_end = nq;
+        q = nq;
+      }
+      if (last_rn_end) return last_rn_end;  // A5
+      if (q == end) return q;               // A6 at end-of-text
+      if (prev_start > p) return prev_start;  // A6: hold back last ws char
+      return q;                             // A7 (single ws char)
+    }
+
+    return p1ptr;  // safety: consume one char (unreachable for the family)
+  }
+};
+
+struct Workspace {
+  std::vector<int32_t> rank;
+  std::vector<int32_t> nxt;
+  std::vector<int32_t> prv;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* td_create(const uint8_t* classes, const int8_t* fold,
+                const int32_t* pair_rows, int64_t nbuckets, int32_t mask,
+                const int32_t* byte_rank, int contractions) {
+  Tables* t = new Tables();
+  t->classes = classes;
+  t->fold = fold;
+  t->pair_rows = pair_rows;
+  t->nbuckets = nbuckets;
+  t->mask = (uint32_t)mask;
+  t->byte_rank = byte_rank;
+  t->contractions = contractions;
+  return t;
+}
+
+void td_destroy(void* h) { delete (Tables*)h; }
+
+// Install the whole-piece vocab hash: keys_blob holds all token byte
+// strings concatenated; offs/lens/ranks are parallel arrays of length n.
+// The blob pointer is borrowed — caller keeps it alive.
+void td_set_vocab(void* h, const uint8_t* keys_blob, const int64_t* offs,
+                  const int32_t* lens, const int32_t* ranks, int64_t n) {
+  Tables* t = (Tables*)h;
+  uint64_t cap = 1;
+  while (cap < (uint64_t)(n * 2)) cap <<= 1;
+  t->vocab.assign(cap, VocabSlot{0, 0, 0});
+  t->vocab_mask = cap - 1;
+  t->keys_blob = keys_blob;
+  t->pair_lut.assign(256 * 256, MAX_RANK);
+  for (int64_t i = 0; i < n; ++i) {
+    if (lens[i] > 255) continue;  // not addressable by the fast path
+    uint64_t hh = fnv1a(keys_blob + offs[i], lens[i]);
+    uint32_t fp = (uint32_t)(hh >> 32) | 1u;
+    uint64_t j = hh & t->vocab_mask;
+    while (t->vocab[j].fp != 0) j = (j + 1) & t->vocab_mask;
+    t->vocab[j] =
+        VocabSlot{fp, ((uint32_t)offs[i] << 8) | (uint32_t)lens[i], ranks[i]};
+    if (lens[i] == 2) {
+      const uint8_t* k = keys_blob + offs[i];
+      t->pair_lut[(size_t)k[0] * 256 + k[1]] = ranks[i];
+    }
+  }
+}
+
+// Pretokenize: write piece start byte offsets into `starts` (capacity cap,
+// must be >= number of pieces; n+1 always suffices). Returns piece count;
+// starts[count] is set to n (end sentinel).
+int64_t td_scan(const void* h, const uint8_t* data, int64_t n,
+                int32_t* starts, int64_t cap) {
+  const Tables* t = (const Tables*)h;
+  BScan sc{t, data + n};
+  const uint8_t* p = data;
+  int64_t count = 0;
+  while (p < data + n) {
+    if (count >= cap) return -1;
+    starts[count++] = (int32_t)(p - data);
+    const uint8_t* e = sc.match_end(p);
+    p = e > p ? e : p + 1;
+  }
+  if (count < cap) starts[count] = (int32_t)n;
+  return count;
+}
+
+// Exact sequential BPE merge of one piece of token ids (in place semantics:
+// ids[] holds initial byte ranks, returns merged count).
+// Mirrors the reference merge loop semantics
+// (/root/reference/src/tiktoken/tiktoken.cpp:282-378) over id pairs.
+static int64_t merge_ids(const Tables* t, const uint8_t* bytes, int32_t* ids,
+                         int64_t len, Workspace& ws) {
+  if (len <= 1) return len;
+  const int32_t* lut = t->pair_lut.empty() ? nullptr : t->pair_lut.data();
+  if (len == 2) {
+    int32_t r = lut ? lut[(size_t)bytes[0] * 256 + bytes[1]]
+                    : pair_lookup(t, ids[0], ids[1]);
+    if (r == MAX_RANK) return 2;
+    ids[0] = r;
+    return 1;
+  }
+  if ((int64_t)ws.rank.size() < len) {
+    ws.rank.resize(len);
+    ws.nxt.resize(len);
+    ws.prv.resize(len);
+  }
+  auto& rank = ws.rank;
+  auto& nxt = ws.nxt;
+  auto& prv = ws.prv;
+  // rank[i] = rank of pair (ids[i], ids[i+1]) over the live list.
+  // Init pass: all parts are single bytes, so the 256x256 LUT answers
+  // every lookup from cache.
+  int64_t min_rank = MAX_RANK;
+  int64_t min_idx = -1;
+  for (int64_t i = 0; i < len; ++i) {
+    int32_t r;
+    if (i + 1 >= len)
+      r = MAX_RANK;
+    else if (lut)
+      r = lut[(size_t)bytes[i] * 256 + bytes[i + 1]];
+    else
+      r = pair_lookup(t, ids[i], ids[i + 1]);
+    rank[i] = r;
+    if (r < min_rank) {
+      min_rank = r;
+      min_idx = i;
+    }
+    nxt[i] = (int32_t)(i + 1);
+    prv[i] = (int32_t)(i - 1);
+  }
+  while (min_rank != MAX_RANK) {
+    int64_t i = min_idx;
+    int64_t j = nxt[i];          // right partner
+    int64_t k = j < len ? nxt[j] : len;  // after pair
+    ids[i] = (int32_t)min_rank;  // pair value IS merged token id
+    nxt[i] = (int32_t)k;
+    if (k < len) prv[k] = (int32_t)i;
+    rank[j] = MAX_RANK;
+    rank[i] = (k < len) ? pair_lookup(t, ids[i], ids[k]) : MAX_RANK;
+    int64_t p = prv[i];
+    if (p >= 0) rank[p] = pair_lookup(t, ids[p], ids[i]);
+    // rescan for global min (leftmost)
+    min_rank = MAX_RANK;
+    min_idx = -1;
+    for (int64_t q = 0; q < len; q = nxt[q]) {
+      if (rank[q] < min_rank) {
+        min_rank = rank[q];
+        min_idx = q;
+      }
+    }
+  }
+  // compact alive ids
+  int64_t w = 0;
+  for (int64_t q = 0; q < len; q = nxt[q]) ids[w++] = ids[q];
+  return w;
+}
+
+// Scan + merge: emit token ids for one ordinary segment. Returns id count,
+// or -1 if out capacity is insufficient (cap >= n always suffices) or a
+// byte has no rank (caller should use the exact Python fallback).
+int64_t td_encode(const void* h, const uint8_t* data, int64_t n, int32_t* out,
+                  int64_t cap) {
+  const Tables* t = (const Tables*)h;
+  BScan sc{t, data + n};
+  Workspace ws;
+  std::vector<int32_t> piece;
+  piece.reserve(1024);
+  int64_t count = 0;
+  const uint8_t* p = data;
+  while (p < data + n) {
+    const uint8_t* e = sc.match_end(p);
+    if (e <= p) e = p + 1;
+    int64_t b0 = p - data;
+    int64_t plen = e - p;
+    p = e;
+    // whole-piece fast path (reference: tiktoken.cpp:210-215)
+    int32_t direct = vocab_lookup(t, data + b0, plen);
+    if (direct >= 0) {
+      if (count + 1 > cap) return -1;
+      out[count++] = direct;
+      continue;
+    }
+    if ((int64_t)piece.size() < plen) piece.resize(plen);
+    for (int64_t b = 0; b < plen; ++b) {
+      int32_t r = t->byte_rank[data[b0 + b]];
+      if (r < 0) return -2;  // vocab lacks a single-byte rank
+      piece[b] = r;
+    }
+    int64_t k = merge_ids(t, data + b0, piece.data(), plen, ws);
+    if (count + k > cap) return -1;
+    std::memcpy(out + count, piece.data(), k * sizeof(int32_t));
+    count += k;
+  }
+  return count;
+}
+
+}  // extern "C"

@@ -1,0 +1,41 @@
+"""Device encode pipeline stage 2: pack pretoken pieces and BPE-merge them.
+
+Consumes the scan output (piece start/length arrays pointing into the raw
+byte buffer that is already resident on device) and produces per-piece token
+ids, without the bytes ever round-tripping to the host:
+
+  gather_merge(data, starts, lens) :
+      rows are gathered straight out of the byte stream (no host packing),
+      then merged with the exact row-parallel kernel (ops/merge.py).
+
+The host side only bins piece indices into width buckets (vectorized numpy)
+and assembles the final flat id arrays; see engine.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .merge import merge_rows_local
+
+
+@partial(jax.jit, static_argnames=("mask", "width"))
+def gather_merge(
+    data: jnp.ndarray,       # (N,) uint8 raw byte stream (device-resident)
+    starts: jnp.ndarray,     # (R,) int32 piece start byte offsets
+    lens: jnp.ndarray,       # (R,) int32 piece byte lengths (<= width; 0 pads)
+    byte_rank: jnp.ndarray,  # (256,) int32
+    pair_rows: jnp.ndarray,  # (nb, 12) int32
+    mask: int,
+    width: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (tok (R, width) int32 with -1 dead slots, counts (R,))."""
+    R = starts.shape[0]
+    cols = jnp.arange(width, dtype=jnp.int32)[None, :]
+    gidx = starts[:, None] + cols
+    gidx = jnp.clip(gidx, 0, data.shape[0] - 1)
+    buf = jnp.where(cols < lens[:, None], data[gidx], 0)
+    return merge_rows_local(buf, lens, byte_rank, pair_rows, mask=mask)

@@ -1,0 +1,289 @@
+r"""Device pretokenizer: the regex split as a data-parallel TPU program.
+
+Mirrors scanner_ref.py (the fuzz-verified numpy reference for the tiktoken
+pattern family — see that module's docstring for the per-alternative
+derivation; reference behavior: /root/reference/src/tiktoken/tiktoken.cpp:70-128)
+in pure jnp so XLA fuses the whole scan into a handful of elementwise +
+scan + gather kernels:
+
+  bytes (N,) u8
+    → UTF-8 decode (per-byte lead/continuation classify, codepoint gather)
+    → compact codepoints to char positions (cumsum + scatter)
+    → class bitmask gather from the replicated 1.1 MB table
+    → run-length arrays via reverse cummin, prev-member via cummax
+    → per-position match length (elementwise alternative logic)
+    → match-start chaining via pointer doubling (log2 N gather rounds)
+    → piece start/length arrays (byte units, compacted)
+
+Everything is fixed-shape: callers pad `data` to a bucket size N and pass
+the true byte count `nbytes`; outputs are padded with sentinels.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..unicode_tables import LC, LETTER, NUM, RN, UC, WS
+
+# contraction fold-letter ids (match scanner_ref._FOLD_ORDER)
+_S, _T, _R, _E, _V, _M, _L, _D = range(8)
+
+MAXI = jnp.int32(0x7FFFFFFF)
+
+
+def _runlen(mask: jnp.ndarray, idx: jnp.ndarray, n: int) -> jnp.ndarray:
+    """r[i] = consecutive True at/after i. mask (n,) bool."""
+    nf = jnp.where(mask, n, idx)
+    nf = jax.lax.cummin(nf, axis=0, reverse=True)
+    return nf - idx
+
+
+def _prevpos(mask: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """p[i] = largest j <= i with mask[j], else -1."""
+    return jax.lax.cummax(jnp.where(mask, idx, -1), axis=0)
+
+
+def match_lengths_jax(
+    cp: jnp.ndarray,        # (N,) int32 codepoints (0-padded beyond m)
+    m: jnp.ndarray,         # scalar int32: number of valid chars
+    classes: jnp.ndarray,   # (0x110000,) uint8 class bitmask (device)
+    fold_id: jnp.ndarray,   # (0x110000,) int8 contraction fold ids (device)
+    *,
+    contractions: bool,
+) -> jnp.ndarray:
+    """Per-char match length, (N,) int32; >= 1 at valid positions."""
+    N = cp.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    valid = idx < m
+
+    cls = classes[cp].astype(jnp.int32)
+    ws = ((cls & WS) != 0) & valid
+    rn = ((cls & RN) != 0) & valid
+    let = (cls & LETTER) != 0
+    num = ((cls & NUM) != 0) & valid
+    uc = ((cls & UC) != 0) & valid
+    lc = ((cls & LC) != 0) & valid
+    wd = uc | lc
+    p1 = ~(rn | let | num) & valid
+    pu = ~((cls & WS) != 0) & ~let & ~((cls & NUM) != 0) & valid
+    rns = (rn | (cp == ord("/"))) & valid
+    sp = (cp == ord(" ")) & valid
+
+    ws_run = _runlen(ws, idx, N)
+    wd_run = _runlen(wd, idx, N)
+    uc_run = _runlen(uc, idx, N)
+    lc_run = _runlen(lc, idx, N)
+    num_run = _runlen(num, idx, N)
+    pu_run = _runlen(pu, idx, N)
+    rns_run = _runlen(rns, idx, N)
+    prevrn = _prevpos(rn, idx)
+    prevlc = _prevpos(lc, idx)
+
+    last = jnp.int32(N - 1)
+
+    def g(a: jnp.ndarray, j: jnp.ndarray) -> jnp.ndarray:
+        return a[jnp.clip(j, 0, last)]
+
+    # --- word matchers ----------------------------------------------------
+    def wm1(j):
+        R = g(wd_run, j)
+        p = g(uc_run, j)
+        lt = p + g(lc_run, j + p)
+        s = g(prevlc, j + R - 1)
+        eq = jnp.where((s >= j) & (R > 0), s - j + 1, 0)
+        return jnp.where(R == 0, 0, jnp.where(p < R, lt, eq))
+
+    def wm2(j):
+        p = g(uc_run, j)
+        return jnp.where(p > 0, p + g(lc_run, j + p), 0)
+
+    # --- contraction suffix ----------------------------------------------
+    if contractions:
+        apo = (cp == ord("'")) & valid
+        f1 = jnp.concatenate([fold_id[cp[1:]], jnp.full((1,), -1, jnp.int8)])
+        f1 = jnp.where(idx + 1 < m, f1, -1)
+        f2 = jnp.concatenate([fold_id[cp[2:]], jnp.full((2,), -1, jnp.int8)])
+        f2 = jnp.where(idx + 2 < m, f2, -1)
+        one = (f1 == _S) | (f1 == _T) | (f1 == _M) | (f1 == _D)
+        two = ((f1 == _R) & (f2 == _E)) | ((f1 == _V) & (f2 == _E)) | (
+            (f1 == _L) & (f2 == _L)
+        )
+        ct_full = jnp.where(apo & one, 2, jnp.where(apo & two, 3, 0))
+
+        def ct(e):
+            return g(ct_full, e)
+
+    else:
+
+        def ct(e):
+            return jnp.zeros_like(e)
+
+    # --- alternatives -----------------------------------------------------
+    j1 = idx + 1
+
+    w_pre = wm1(j1)
+    w_nop = wm1(idx)
+    a1_pre = p1 & (w_pre > 0)
+    a1 = jnp.where(
+        a1_pre,
+        1 + w_pre + ct(idx + 1 + w_pre),
+        jnp.where(w_nop > 0, w_nop + ct(idx + w_nop), 0),
+    )
+
+    w2_pre = wm2(j1)
+    w2_nop = wm2(idx)
+    a2_pre = p1 & (w2_pre > 0)
+    a2 = jnp.where(
+        a2_pre,
+        1 + w2_pre + ct(idx + 1 + w2_pre),
+        jnp.where(w2_nop > 0, w2_nop + ct(idx + w2_nop), 0),
+    )
+
+    a3 = jnp.minimum(num_run, 3)
+
+    pu_pre = g(pu_run, j1)
+    pu_nop = pu_run
+    a4 = jnp.where(
+        sp & (pu_pre > 0),
+        1 + pu_pre + g(rns_run, idx + 1 + pu_pre),
+        jnp.where(pu_nop > 0, pu_nop + g(rns_run, idx + pu_nop), 0),
+    )
+
+    e_ws = idx + ws_run
+    m_rn = g(prevrn, e_ws - 1)
+    a5 = jnp.where(ws & (m_rn >= idx), m_rn + 1 - idx, 0)
+
+    at_eos = e_ws == m
+    a6 = jnp.where(
+        (ws_run > 0) & at_eos, ws_run, jnp.where(ws_run >= 2, ws_run - 1, 0)
+    )
+
+    a7 = ws_run
+
+    lens = jnp.where(
+        a1 > 0,
+        a1,
+        jnp.where(
+            a2 > 0,
+            a2,
+            jnp.where(
+                a3 > 0,
+                a3,
+                jnp.where(a4 > 0, a4, jnp.where(a5 > 0, a5, jnp.where(a6 > 0, a6, a7))),
+            ),
+        ),
+    )
+    return jnp.maximum(lens, 1).astype(jnp.int32)
+
+
+def utf8_decode(data: jnp.ndarray, nbytes: jnp.ndarray):
+    """Decode UTF-8 bytes to a compacted codepoint array.
+
+    data (N,) uint8 (0-padded), nbytes scalar. Returns
+    (cp (N,) int32 0-padded, char_of_byte (N,) int32, byte_of_char (N,) int32
+    padded with nbytes, n_chars scalar int32).
+    """
+    N = data.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    b = data.astype(jnp.int32)
+    valid = idx < nbytes
+
+    is_cont = (b & 0xC0) == 0x80
+    is_start = ~is_cont & valid
+
+    b1 = jnp.concatenate([b[1:], jnp.zeros((1,), jnp.int32)])
+    b2 = jnp.concatenate([b[2:], jnp.zeros((2,), jnp.int32)])
+    b3 = jnp.concatenate([b[3:], jnp.zeros((3,), jnp.int32)])
+
+    cp1 = b
+    cp2 = ((b & 0x1F) << 6) | (b1 & 0x3F)
+    cp3 = ((b & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F)
+    cp4 = ((b & 0x07) << 18) | ((b1 & 0x3F) << 12) | ((b2 & 0x3F) << 6) | (b3 & 0x3F)
+    cp_at = jnp.where(
+        b < 0x80, cp1, jnp.where(b < 0xE0, cp2, jnp.where(b < 0xF0, cp3, cp4))
+    )
+    cp_at = jnp.clip(cp_at, 0, 0x10FFFF)
+
+    char_of_byte = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    n_chars = jnp.where(nbytes > 0, jnp.maximum(char_of_byte[-1] + 1, 0), 0)
+
+    tgt = jnp.where(is_start, char_of_byte, N)  # drop non-starts
+    cp = jnp.zeros((N,), jnp.int32).at[tgt].set(
+        jnp.where(is_start, cp_at, 0), mode="drop"
+    )
+    byte_of_char = jnp.full((N,), nbytes, jnp.int32).at[tgt].set(
+        jnp.where(is_start, idx, 0), mode="drop"
+    )
+    return cp, char_of_byte, byte_of_char, n_chars
+
+
+def chain_starts(lens: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """starts[i] = True iff a match begins at char i (pointer doubling).
+
+    lens (N,) int32 >= 1; m = number of valid chars.
+    """
+    N = lens.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    # jump targets clamped into [0, N]; sentinel slot N via size-(N+1) arrays
+    jump = jnp.minimum(idx + jnp.maximum(lens, 1), N)
+    jump = jnp.concatenate([jump, jnp.full((1,), N, jnp.int32)])
+    mask = jnp.zeros((N + 1,), jnp.bool_).at[0].set(True)
+
+    rounds = max(1, int(np.ceil(np.log2(max(2, N)))))
+
+    def body(_, state):
+        mask, jump = state
+        hit = jnp.zeros((N + 1,), jnp.bool_).at[jump].max(mask)
+        return mask | hit, jump[jump]
+
+    mask, _ = jax.lax.fori_loop(0, rounds, body, (mask, jump))
+    return mask[:N] & (idx < m)
+
+
+@jax.jit
+def compact_pieces(starts, byte_of_char, nbytes):
+    """Compact char-level start flags into piece (start, len) byte arrays."""
+    N = starts.shape[0]
+    pid = jnp.cumsum(starts.astype(jnp.int32)) - 1
+    n_pieces = jnp.maximum(pid[-1] + 1, 0)
+    tgt = jnp.where(starts, pid, N)
+    start_b = jnp.full((N,), nbytes, jnp.int32).at[tgt].set(
+        jnp.where(starts, byte_of_char, 0), mode="drop"
+    )
+    # piece end byte = start byte of next piece (or nbytes)
+    end_b = jnp.concatenate([start_b[1:], jnp.full((1,), 0, jnp.int32)])
+    end_b = jnp.where(jnp.arange(N) == n_pieces - 1, nbytes, end_b)
+    piece_len = jnp.where(jnp.arange(N) < n_pieces, end_b - start_b, 0)
+    return start_b, piece_len, n_pieces
+
+
+# Stage-level jits: compiling the whole scan as one XLA module triggers a
+# pathologically slow CPU-backend compile (minutes); the stages individually
+# compile in ~1 s each and the extra dispatches are negligible vs the work.
+_utf8_decode_j = jax.jit(utf8_decode)
+_match_lengths_j = jax.jit(
+    match_lengths_jax, static_argnames=("contractions",)
+)
+_chain_starts_j = jax.jit(chain_starts)
+
+
+def scan_bytes(
+    data: jnp.ndarray,      # (N,) uint8, 0-padded
+    nbytes: jnp.ndarray,    # scalar int32
+    classes: jnp.ndarray,   # (0x110000,) uint8
+    fold_id: jnp.ndarray,   # (0x110000,) int8
+    *,
+    contractions: bool = True,
+):
+    """Full pretokenizer scan (staged jits, async dispatch). Returns
+    (piece_start (N,) int32 byte offsets compacted & padded with nbytes,
+     piece_len (N,) int32 byte lengths (0-padded),
+     n_pieces scalar int32)."""
+    cp, _, byte_of_char, m = _utf8_decode_j(data, nbytes)
+    lens = _match_lengths_j(cp, m, classes, fold_id, contractions=contractions)
+    starts = _chain_starts_j(lens, m)
+    return compact_pieces(starts, byte_of_char, nbytes)

@@ -1,0 +1,231 @@
+r"""Vectorized pretokenizer scanner — numpy reference implementation.
+
+Replaces the reference's backtracking PCRE2 engine
+(/root/reference/src/tiktoken/tiktoken.cpp:70-128) with a data-parallel
+formulation tailored to the tiktoken pattern family (Llama-4 pattern at
+/root/reference/src/main.cpp:114; Mistral Tekken uses the same pattern minus
+the contraction alternates):
+
+    A1  [^\r\n\p{L}\p{N}]?[UC]*[LC]+(?i:'s|'t|'re|'ve|'m|'ll|'d)?
+    A2  [^\r\n\p{L}\p{N}]?[UC]+[LC]*(?i:...)?
+    A3  \p{N}{1,3}
+    A4  \x20?[^\s\p{L}\p{N}]+[\r\n/]*
+    A5  \s*[\r\n]+
+    A6  \s+(?!\S)
+    A7  \s+
+
+with UC = [\p{Lu}\p{Lt}\p{Lm}\p{Lo}\p{M}], LC = [\p{Ll}\p{Lm}\p{Lo}\p{M}].
+
+Key insight: PCRE alternation is leftmost-FIRST (not longest), and each
+alternative's greedy/backtracking behavior over these character classes
+reduces to closed-form expressions on class-run lengths:
+
+* ``[UC]*[LC]+`` with UC/LC overlap (Lm, Lo, M are in both): let R be the
+  (UC|LC)-run length at j and p the UC-run length. If p < R the match ends
+  at the end of the LC-run at j+p; if p == R it ends just after the *last*
+  LC-class char in the run (backtracking gives back UC|LC overlap chars).
+* ``\s*[\r\n]+``: ends just after the last [\r\n] char of the whitespace
+  run (greedy \s* backtracks to the last newline).
+* ``\s+(?!\S)``: the full whitespace run if it ends at end-of-text, else
+  run-1 chars (needs >= 2); the classic "hold back one space before a word".
+
+Every character matches some alternative (A7 at worst), so matches tile the
+text with no gaps — `finditer` is then: lengths[i] for all i in parallel,
+followed by start-position chaining (sequential here; pointer-doubling on
+device, see ops/pretokenize.py).
+
+This module is the *reference* for the jnp device kernel and is itself
+differentially fuzzed against the `regex` module (tests/test_scanner.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .unicode_tables import LC, LETTER, NUM, RN, UC, WS, get_tables
+
+# contraction letter ids
+_S, _T, _R, _E, _V, _M, _L, _D = range(8)
+_FOLD_ORDER = "strevmld"
+
+_FOLD_ID: np.ndarray | None = None
+
+
+def _fold_id_table() -> np.ndarray:
+    global _FOLD_ID
+    if _FOLD_ID is None:
+        _, folds = get_tables()
+        t = np.full(0x110000, -1, dtype=np.int8)
+        for i, letter in enumerate(_FOLD_ORDER):
+            t[folds[letter]] = i
+        _FOLD_ID = t
+    return _FOLD_ID
+
+
+def _runlen(mask: np.ndarray) -> np.ndarray:
+    """r[i] = number of consecutive True at and after i (same length)."""
+    n = len(mask)
+    idx = np.arange(n, dtype=np.int64)
+    nf = np.where(~mask, idx, n)  # position itself if False, else n
+    nf = np.minimum.accumulate(nf[::-1])[::-1]  # next False at/after i
+    return (nf - idx).astype(np.int32)
+
+
+def match_lengths(cp: np.ndarray, *, contractions: bool = True) -> np.ndarray:
+    """Per-position match length (in chars) for the pattern family.
+
+    cp: (n,) int32/int64 codepoints. Returns (n,) int32, all >= 1.
+    """
+    classes, _ = get_tables()
+    n = len(cp)
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+
+    cls = classes[cp]
+    ws = (cls & WS) != 0
+    rn = (cls & RN) != 0
+    let = (cls & LETTER) != 0
+    num = (cls & NUM) != 0
+    uc = (cls & UC) != 0
+    lc = (cls & LC) != 0
+    wd = uc | lc
+    p1 = ~(rn | let | num)  # [^\r\n\p{L}\p{N}]
+    pu = ~(ws | let | num)  # [^\s\p{L}\p{N}]
+    rns = rn | (cp == ord("/"))
+    sp = cp == ord(" ")
+
+    PAD = 4
+    z32 = lambda a: np.concatenate([a.astype(np.int32), np.zeros(PAD, np.int32)])
+    ws_run = z32(_runlen(ws))
+    wd_run = z32(_runlen(wd))
+    uc_run = z32(_runlen(uc))
+    lc_run = z32(_runlen(lc))
+    num_run = z32(_runlen(num))
+    pu_run = z32(_runlen(pu))
+    rns_run = z32(_runlen(rns))
+
+    idx = np.arange(n, dtype=np.int32)
+    # forward cummax of "position if class else -1" — enables O(1) queries of
+    # "last class-member at or before j"
+    prevrn = np.concatenate(
+        [np.maximum.accumulate(np.where(rn, idx, -1)).astype(np.int32),
+         np.full(PAD, -1, np.int32)]
+    )
+    prevlc = np.concatenate(
+        [np.maximum.accumulate(np.where(lc, idx, -1)).astype(np.int32),
+         np.full(PAD, -1, np.int32)]
+    )
+
+    # --- word-part matchers -------------------------------------------------
+    def wm1(j: np.ndarray) -> np.ndarray:
+        """match length of [UC]*[LC]+ at positions j (0 = no match)."""
+        R = wd_run[j]
+        p = uc_run[j]
+        end_run = j + R - 1
+        # p < R: char at j+p is pure-LC; match to end of its LC-run
+        lt = p + lc_run[j + p]
+        # p == R: backtrack to last LC-class char in the run
+        s = prevlc[np.maximum(end_run, 0)]
+        eq = np.where((s >= j) & (R > 0), s - j + 1, 0)
+        return np.where(R == 0, 0, np.where(p < R, lt, eq)).astype(np.int32)
+
+    def wm2(j: np.ndarray) -> np.ndarray:
+        """match length of [UC]+[LC]* at positions j (0 = no match)."""
+        p = uc_run[j]
+        return np.where(p > 0, p + lc_run[j + p], 0).astype(np.int32)
+
+    # --- contraction suffix -------------------------------------------------
+    if contractions:
+        fold = _fold_id_table()
+        cpp = np.concatenate([cp.astype(np.int64), np.zeros(PAD, np.int64)])
+        f1 = fold[cpp[1:]]  # fold id of cp[e+1] at index e
+        f1 = np.concatenate([f1, np.full(1, -1, np.int8)])
+        f2 = np.concatenate([fold[cpp[2:]], np.full(2, -1, np.int8)])
+        apo = np.concatenate([cp == ord("'"), np.zeros(PAD, bool)])
+        one = (f1 == _S) | (f1 == _T) | (f1 == _M) | (f1 == _D)
+        two = ((f1 == _R) & (f2 == _E)) | ((f1 == _V) & (f2 == _E)) | (
+            (f1 == _L) & (f2 == _L)
+        )
+        ct_full = np.where(apo & one, 2, np.where(apo & two, 3, 0)).astype(np.int32)
+
+        def ct(e: np.ndarray) -> np.ndarray:
+            return ct_full[np.minimum(e, n + PAD - 1)]
+
+    else:
+
+        def ct(e: np.ndarray) -> np.ndarray:
+            return np.zeros(len(e), dtype=np.int32)
+
+    # --- alternatives -------------------------------------------------------
+    j1 = np.minimum(idx + 1, n)  # position after a 1-char prefix
+
+    # A1: optional prefix is greedy — prefix branch taken whenever it yields
+    # any word match, even if the no-prefix branch would match longer.
+    w_pre = wm1(j1)
+    w_nop = wm1(idx)
+    a1_pre = p1 & (w_pre > 0)
+    a1_len = np.where(
+        a1_pre,
+        1 + w_pre + ct(idx + 1 + w_pre),
+        np.where(w_nop > 0, w_nop + ct(idx + w_nop), 0),
+    )
+
+    w2_pre = wm2(j1)
+    w2_nop = wm2(idx)
+    a2_pre = p1 & (w2_pre > 0)
+    a2_len = np.where(
+        a2_pre,
+        1 + w2_pre + ct(idx + 1 + w2_pre),
+        np.where(w2_nop > 0, w2_nop + ct(idx + w2_nop), 0),
+    )
+
+    a3_len = np.minimum(num_run[:n], 3)
+
+    # A4: optional literal space prefix, same greedy-prefix rule as A1
+    pu_pre = pu_run[j1]
+    a4_pre = sp & (pu_pre > 0)
+    e1_pre = idx + 1 + pu_pre
+    e1_nop = idx + pu_run[:n]
+    a4_len = np.where(
+        a4_pre,
+        1 + pu_pre + rns_run[np.minimum(e1_pre, n)],
+        np.where(
+            pu_run[:n] > 0, pu_run[:n] + rns_run[np.minimum(e1_nop, n)], 0
+        ),
+    )
+
+    # A5: \s*[\r\n]+ — ends after the last newline of the whitespace run
+    e_ws = idx + ws_run[:n]
+    m_rn = prevrn[np.maximum(e_ws - 1, 0)]
+    a5_len = np.where(ws[:n] & (m_rn >= idx), m_rn + 1 - idx, 0)
+
+    # A6: \s+(?!\S)
+    Lw = ws_run[:n]
+    at_eos = (idx + Lw) == n
+    a6_len = np.where(
+        (Lw > 0) & at_eos, Lw, np.where(Lw >= 2, Lw - 1, 0)
+    )
+
+    a7_len = Lw
+
+    lens = np.select(
+        [a1_len > 0, a2_len > 0, a3_len > 0, a4_len > 0, a5_len > 0, a6_len > 0],
+        [a1_len, a2_len, a3_len, a4_len, a5_len, a6_len],
+        default=a7_len,
+    ).astype(np.int32)
+    return lens
+
+
+def split_spans(text: str, *, contractions: bool = True) -> list[tuple[int, int]]:
+    """Pretoken (start, end) char spans — finditer equivalent."""
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    lens = match_lengths(cp, contractions=contractions)
+    spans: list[tuple[int, int]] = []
+    i = 0
+    n = len(cp)
+    while i < n:
+        l = int(lens[i])
+        assert l >= 1
+        spans.append((i, i + l))
+        i += l
+    return spans

@@ -124,6 +124,11 @@ class DeviceTables:
     decode_blob: np.ndarray      # (total_bytes,) uint8
     n_vocab: int
     monotonic_merges: bool       # every merged token outranks its children
+    # True iff byte_pair_merge(token_bytes) == [rank] for every vocab token.
+    # When it holds, a merge-only encode is bit-identical to tiktoken's
+    # whole-piece-lookup-then-merge; when it doesn't, merge-only paths must
+    # be disabled (tiktoken's fast path would win on unreachable tokens).
+    all_reachable: bool
 
 
 def _vocab_digest(ranks: dict[bytes, int], special_tokens: dict[str, int]) -> str:
@@ -150,7 +155,8 @@ def build_tables(
     use_cache: bool = True,
 ) -> DeviceTables:
     special_tokens = special_tokens or {}
-    cache_path = _cache_dir() / f"tables_{_vocab_digest(ranks, special_tokens)}.npz"
+    # v2: + all_reachable field (bump on schema changes; digest covers vocab)
+    cache_path = _cache_dir() / f"tables_v2_{_vocab_digest(ranks, special_tokens)}.npz"
     if use_cache and cache_path.exists():
         z = np.load(cache_path)
         return DeviceTables(
@@ -161,6 +167,7 @@ def build_tables(
             decode_blob=z["decode_blob"],
             n_vocab=int(z["n_vocab"]),
             monotonic_merges=bool(z["monotonic"]),
+            all_reachable=bool(z["all_reachable"]),
         )
 
     # --- pair-merge relation: every 2-split of every vocab token -----------
@@ -213,6 +220,17 @@ def build_tables(
         off += len(sb)
     decode_blob = np.frombuffer(b"".join(blob_parts), dtype=np.uint8).copy()
 
+    # --- merge-reachability audit ------------------------------------------
+    from .hostengine import byte_pair_encode
+
+    all_reachable = True
+    for tb, rank in ranks.items():
+        if len(tb) < 2:
+            continue
+        if any(byte_rank[b] < 0 for b in tb) or byte_pair_encode(tb, ranks) != [rank]:
+            all_reachable = False
+            break
+
     tables = DeviceTables(
         pair=pair,
         byte_rank=byte_rank,
@@ -221,6 +239,7 @@ def build_tables(
         decode_blob=decode_blob,
         n_vocab=n_ids,
         monotonic_merges=monotonic,
+        all_reachable=all_reachable,
     )
     if use_cache:
         tmp = cache_path.with_suffix(".tmp.npz")
@@ -235,6 +254,7 @@ def build_tables(
             decode_blob=decode_blob,
             n_vocab=n_ids,
             monotonic=monotonic,
+            all_reachable=all_reachable,
         )
         os.replace(tmp, cache_path)
     return tables

@@ -1,0 +1,121 @@
+"""Unicode classification tables for the pretokenizer.
+
+The reference pretokenizes with a PCRE2-JIT regex over Unicode categories
+(/root/reference/src/tiktoken/tiktoken.cpp:48-68, pattern at
+/root/reference/src/main.cpp:114). The TPU-native design replaces the
+backtracking regex engine with class-run analysis (see ops/pretokenize.py);
+this module compiles the per-codepoint class bitmask it runs on.
+
+Classes are derived by querying the `regex` module itself (the same engine
+as the host oracle) for each property over the full codepoint range, so the
+table agrees with the oracle by construction. Tables are cached on disk.
+
+Bit layout (uint8):
+  WS      0x01  \\s          (Unicode whitespace)
+  RN      0x02  [\\r\\n]
+  LETTER  0x04  \\p{L}
+  NUM     0x08  \\p{N}
+  UC      0x10  [\\p{Lu}\\p{Lt}\\p{Lm}\\p{Lo}\\p{M}]  ("uppercase-ish" word class)
+  LC      0x20  [\\p{Ll}\\p{Lm}\\p{Lo}\\p{M}]          ("lowercase-ish" word class)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+WS = 0x01
+RN = 0x02
+LETTER = 0x04
+NUM = 0x08
+UC = 0x10
+LC = 0x20
+
+N_CP = 0x110000
+
+# Codepoints matching (?i:x) for each contraction letter, computed from the
+# oracle engine (simple case folding: e.g. U+017F LATIN SMALL LETTER LONG S
+# case-folds to 's').
+_CONTRACTION_LETTERS = "stredvml"
+
+_TABLE_VERSION = 3  # bump when bit layout / derivation changes
+
+
+def _cache_path() -> Path:
+    d = Path(
+        os.environ.get(
+            "TOKENDAGGER_TPU_CACHE", Path.home() / ".cache" / "tokendagger_tpu"
+        )
+    )
+    d.mkdir(parents=True, exist_ok=True)
+    uv = sys.implementation.name  # invalidate across unicode-data changes
+    import unicodedata
+
+    return d / f"uniclass_v{_TABLE_VERSION}_{uv}_{unicodedata.unidata_version}.npz"
+
+
+def _build() -> tuple[np.ndarray, dict[str, np.ndarray]]:
+    import regex
+
+    classes = np.zeros(N_CP, dtype=np.uint8)
+
+    # Surrogates can't be put in a str; leave them classless (they never
+    # appear in decoded text).
+    cps = [cp for cp in range(N_CP) if not (0xD800 <= cp <= 0xDFFF)]
+    all_chars = "".join(map(chr, cps))
+    idx = np.asarray(cps, dtype=np.int64)
+
+    def member_mask(char_class: str) -> np.ndarray:
+        pat = regex.compile(char_class)
+        mask = np.zeros(len(cps), dtype=bool)
+        # scan the all-chars string once; matches are single chars
+        for m in pat.finditer(all_chars):
+            s, e = m.span()
+            mask[s:e] = True
+        return mask
+
+    for char_class, bit in [
+        (r"\s", WS),
+        (r"[\r\n]", RN),
+        (r"\p{L}", LETTER),
+        (r"\p{N}", NUM),
+        (r"[\p{Lu}\p{Lt}\p{Lm}\p{Lo}\p{M}]", UC),
+        (r"[\p{Ll}\p{Lm}\p{Lo}\p{M}]", LC),
+    ]:
+        m = member_mask(char_class)
+        classes[idx[m]] |= bit
+
+    folds: dict[str, np.ndarray] = {}
+    for letter in _CONTRACTION_LETTERS:
+        m = member_mask(f"(?i:{letter})")
+        folds[letter] = idx[m].astype(np.int32)
+    return classes, folds
+
+
+_CACHED: tuple[np.ndarray, dict[str, np.ndarray]] | None = None
+
+
+def get_tables() -> tuple[np.ndarray, dict[str, np.ndarray]]:
+    """(classes (0x110000,) uint8, {letter: sorted codepoint array})."""
+    global _CACHED
+    if _CACHED is not None:
+        return _CACHED
+    path = _cache_path()
+    if path.exists():
+        z = np.load(path)
+        classes = z["classes"]
+        folds = {L: z[f"fold_{L}"] for L in _CONTRACTION_LETTERS}
+    else:
+        classes, folds = _build()
+        tmp = path.with_suffix(".tmp.npz")
+        np.savez_compressed(
+            tmp,
+            classes=classes,
+            **{f"fold_{L}": folds[L] for L in _CONTRACTION_LETTERS},
+        )
+        os.replace(tmp, path)
+    _CACHED = (classes, folds)
+    return _CACHED

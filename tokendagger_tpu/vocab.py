@@ -41,6 +41,40 @@ LLAMA4_PATTERN = (
 )
 
 
+# The same family without the contraction alternates (Mistral Tekken's
+# pattern, see /root/reference/src/mistral_main.cpp and the Tekken config
+# convention described at
+# /root/reference/tests/test_tokendagger_vs_tiktoken.py:61-77).
+TEKKEN_PATTERN = (
+    r"[^\r\n\p{L}\p{N}]?[\p{Lu}\p{Lt}\p{Lm}\p{Lo}\p{M}]*[\p{Ll}\p{Lm}\p{Lo}\p{M}]+"
+    r"|[^\r\n\p{L}\p{N}]?[\p{Lu}\p{Lt}\p{Lm}\p{Lo}\p{M}]+[\p{Ll}\p{Lm}\p{Lo}\p{M}]*"
+    r"|\p{N}{1,3}"
+    r"| ?[^\s\p{L}\p{N}]+[\r\n/]*"
+    r"|\s*[\r\n]+"
+    r"|\s+(?!\S)"
+    r"|\s+"
+)
+
+_CONTRACTION_GROUP = r"(?i:'s|'t|'re|'ve|'m|'ll|'d)?"
+
+
+def classify_pattern(pattern: str) -> str | None:
+    """Recognize patterns the device scanner supports.
+
+    Returns "llama4" (family with contraction alternates), "nocontract"
+    (same family without them, e.g. Tekken), or None (device pretokenizer
+    unsupported — engine falls back to the host regex split)."""
+    if pattern == LLAMA4_PATTERN:
+        return "llama4"
+    if pattern == TEKKEN_PATTERN:
+        return "nocontract"
+    # normalize: removing the contraction group from a llama4-family
+    # pattern must yield the no-contraction canon
+    if pattern.replace(_CONTRACTION_GROUP, "") == TEKKEN_PATTERN:
+        return "llama4"
+    return None
+
+
 def load_tiktoken_model(path: str | Path) -> dict[bytes, int]:
     """Parse a tiktoken ``.model``/``.tiktoken`` file into mergeable ranks.
 

@@ -16,6 +16,8 @@ from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import AbstractSet, Collection, Literal, Sequence
 
+import numpy as np
+
 from . import vocab as _vocab
 from .hostengine import HostEngine
 
@@ -90,6 +92,13 @@ class Tokenizer:
 
         self._device = None  # built lazily on first TPU-path call
         self._device_broken = False  # auto mode: device probe failed, use host
+        self._native = None  # C++ host engine, built lazily
+        self._native_tried = False
+        self._tables = None  # compiled vocab tables (tables.py), lazy
+        # frozenset identity marks the common "disallow all specials" case
+        # so the bigram prefilter groups are computed once
+        self._all_specials_frozen = frozenset(self._special_tokens)
+        self._disallowed_all_groups: dict[str, list[str]] = {}
 
     # ------------------------------------------------------------------
     # Backend routing
@@ -106,6 +115,52 @@ class Tokenizer:
                 self.pattern, self._mergeable_ranks, self._special_tokens
             )
         return self._device
+
+    def _get_native(self):
+        """The C++ host fast path (native/tdnative.cpp): pattern-family
+        scanner + vocab-hash fast path + exact merge. None if the pattern
+        is outside the supported family or no toolchain is available."""
+        if not self._native_tried:
+            self._native_tried = True
+            try:
+                from .native import NativeEngine
+                from .vocab import classify_pattern
+
+                kind = classify_pattern(self.pattern)
+                if kind is not None:
+                    tables = self._get_tables()
+                    self._native = NativeEngine(
+                        tables.pair.rows,
+                        tables.pair.mask,
+                        tables.byte_rank,
+                        contractions=(kind != "nocontract"),
+                        ranks=self._mergeable_ranks,
+                    )
+            except Exception:  # noqa: BLE001 - any failure => pure-Python path
+                self._native = None
+        return self._native
+
+    def _host_encode_ordinary(self, text: str) -> list[int]:
+        """Ordinary-encode on the host: native engine if available."""
+        native = self._get_native()
+        if native is not None:
+            ids = native.encode(text.encode("utf-8"))
+            if ids is not None:
+                return ids.tolist()
+        return self._host.encode_ordinary(text)
+
+    def _host_encode(self, text: str, allowed: AbstractSet[str]) -> list[int]:
+        """Full encode on the host: special scan + native segments."""
+        if self._get_native() is None:
+            tokens, _ = self._host.encode(text, allowed)
+            return tokens
+        out: list[int] = []
+        for seg, special_id in self._host.split_specials(text, allowed):
+            if special_id is not None:
+                out.append(special_id)
+            else:
+                out.extend(self._host_encode_ordinary(seg))
+        return out
 
     def _use_device(self, nbytes: int) -> bool:
         if self.backend == "host":
@@ -136,7 +191,7 @@ class Tokenizer:
         try:
             if self._use_device(len(text)):
                 return self._get_device().encode_ordinary_batch([text])[0]
-            return self._host.encode_ordinary(text)
+            return self._host_encode_ordinary(text)
         except Exception as e:  # noqa: BLE001
             raise TokenDaggerError(f"Encoding failed: {e}") from e
 
@@ -152,8 +207,7 @@ class Tokenizer:
         try:
             if self._use_device(len(text)):
                 return self._get_device().encode_batch([text], allowed)[0]
-            tokens, _ = self._host.encode(text, allowed)
-            return tokens
+            return self._host_encode(text, allowed)
         except ValueError:
             raise
         except Exception as e:  # noqa: BLE001
@@ -185,6 +239,9 @@ class Tokenizer:
         total = sum(len(t) for t in text)
         if self._use_device(total):
             return self._get_device().encode_batch(list(text), allowed)
+        arrays = self._encode_batch_host_np(text, allowed, num_threads)
+        if arrays is not None:
+            return [a.tolist() for a in arrays]
         encoder = functools.partial(
             self.encode,
             allowed_special=allowed_special,
@@ -192,6 +249,79 @@ class Tokenizer:
         )
         with ThreadPoolExecutor(num_threads) as e:
             return list(e.map(encoder, text))
+
+    def _encode_batch_host_np(
+        self, text: Sequence[str], allowed: AbstractSet[str], num_threads: int
+    ) -> list[np.ndarray] | None:
+        """Native-engine batch path: worker threads run only the GIL-free
+        C++ encode (ctypes releases the GIL), producing int32 arrays; any
+        Python-object work stays in the caller's thread. None => caller
+        must take the generic path."""
+        native = self._get_native()
+        if native is None:
+            return None
+        if allowed:
+            # specials present: split on the host, encode segments natively
+            plans = []
+            segs: list[bytes] = []
+            for t in text:
+                plan = []
+                for seg, special_id in self._host.split_specials(t, allowed):
+                    if special_id is not None:
+                        plan.append(("sp", special_id))
+                    else:
+                        plan.append(("seg", len(segs)))
+                        segs.append(seg.encode("utf-8"))
+                plans.append(plan)
+            with ThreadPoolExecutor(num_threads) as e:
+                enc = list(e.map(native.encode, segs))
+            if any(a is None for a in enc):
+                return None
+            out = []
+            for plan in plans:
+                parts = []
+                for kind, payload in plan:
+                    if kind == "sp":
+                        parts.append(np.asarray([payload], dtype=np.int32))
+                    else:
+                        parts.append(enc[payload])
+                out.append(
+                    np.concatenate(parts) if parts else np.empty(0, np.int32)
+                )
+            return out
+        datas = [t.encode("utf-8") for t in text]
+        with ThreadPoolExecutor(num_threads) as e:
+            arrays = list(e.map(native.encode, datas))
+        if any(a is None for a in arrays):
+            return None
+        return arrays
+
+    def encode_batch_np(
+        self,
+        text: Sequence[str],
+        *,
+        num_threads: int = 8,
+        allowed_special: Literal["all"] | AbstractSet[str] = set(),
+        disallowed_special: Literal["all"] | Collection[str] = set(),
+    ) -> list[np.ndarray]:
+        """Batch encode returning numpy int arrays (framework-native API;
+        avoids the Python-list materialization cost of ``encode_batch``)."""
+        allowed, disallowed = self._resolve_special(allowed_special, disallowed_special)
+        for t in text:
+            self._check_disallowed(t, disallowed)
+        total = sum(len(t) for t in text)
+        if self._use_device(total):
+            return [
+                np.asarray(ids, dtype=np.int64)
+                for ids in self._get_device().encode_batch(list(text), allowed)
+            ]
+        arrays = self._encode_batch_host_np(text, allowed, num_threads)
+        if arrays is not None:
+            return arrays
+        return [
+            np.asarray(self._host_encode(t, allowed), dtype=np.int64)
+            for t in text
+        ]
 
     def decode_batch(
         self,
@@ -207,8 +337,39 @@ class Tokenizer:
     # ------------------------------------------------------------------
     # Decoding (reference wrapper.py:262-290)
     # ------------------------------------------------------------------
+    # Above this many ids, decode via vectorized gather from the compiled
+    # rank->bytes tables instead of the per-id dict loop.
+    _DECODE_VEC_MIN = 512
+
+    def _get_tables(self):
+        if self._tables is None:
+            from .tables import build_tables
+
+            self._tables = build_tables(self._mergeable_ranks, self._special_tokens)
+        return self._tables
+
+    def _decode_bytes_vec(self, ids: np.ndarray) -> bytes:
+        t = self._get_tables()
+        if ids.size and (ids.min() < 0 or ids.max() >= t.n_vocab):
+            bad = ids[(ids < 0) | (ids >= t.n_vocab)][0]
+            raise KeyError(f"Unknown token id: {int(bad)}")
+        lens = t.decode_lengths[ids]
+        if (lens < 0).any():
+            bad = ids[lens < 0][0]
+            raise KeyError(f"Unknown token id: {int(bad)}")
+        offs = t.decode_offsets[ids]
+        lens = lens.astype(np.int64)
+        total = int(lens.sum())
+        pos = np.repeat(offs, lens) + (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(lens) - lens, lens)
+        )
+        return t.decode_blob[pos].tobytes()
+
     def decode_bytes(self, tokens: Sequence[int]) -> bytes:
         try:
+            if len(tokens) >= self._DECODE_VEC_MIN:
+                return self._decode_bytes_vec(np.asarray(tokens, dtype=np.int64))
             return self._host.decode_bytes(list(tokens))
         except Exception as e:  # noqa: BLE001
             raise TokenDaggerError(f"Decoding failed: {e}") from e
@@ -247,17 +408,39 @@ class Tokenizer:
         else:
             allowed = set(allowed)
         if disallowed == "all":
-            disallowed = set(self._special_tokens.keys()) - allowed
+            if allowed:
+                disallowed = set(self._special_tokens.keys()) - allowed
+            else:
+                disallowed = self._all_specials_frozen
         return allowed, disallowed
 
     def _check_disallowed(self, text: str, disallowed) -> None:
-        # Plain substring scan, faithful to the reference (wrapper.py:182-188).
-        for token in disallowed:
-            if token in text:
-                raise ValueError(
-                    f"Encountered disallowed special token {token!r}. "
-                    f"Pass it to allowed_special to encode it as a special token."
-                )
+        """Disallowed-special check (reference semantics: substring scan,
+        wrapper.py:182-188), accelerated by an exact bigram prefilter: a
+        token can only occur if its leading bigram occurs, so one scan per
+        distinct bigram (typically just "<|") replaces one scan per token."""
+        if not disallowed:
+            return
+        if disallowed is self._all_specials_frozen:
+            if not self._disallowed_all_groups:
+                for token in disallowed:
+                    self._disallowed_all_groups.setdefault(
+                        token[:2], []
+                    ).append(token)
+            groups = self._disallowed_all_groups
+        else:
+            groups = {}
+            for token in disallowed:
+                groups.setdefault(token[:2], []).append(token)
+        for bigram, tokens in groups.items():
+            if bigram in text:
+                for token in tokens:
+                    if token in text:
+                        raise ValueError(
+                            f"Encountered disallowed special token {token!r}. "
+                            f"Pass it to allowed_special to encode it as a "
+                            f"special token."
+                        )
 
 
 # ----------------------------------------------------------------------
