@@ -214,13 +214,13 @@ class DeviceEngine:
         """Device-merge scanned pieces (fixed-shape batches); returns the
         flat id array for these pieces in order."""
         jnp = self._jnp
-        from .ops.encode_pipeline import gather_merge
+        from .ops.encode_pipeline import gather_merge_flat
 
         k = len(starts)
         if k == 0:
             return np.zeros(0, dtype=np.int64)
 
-        launches = []  # (rows_idx, tok_dev, counts_dev)
+        launches = []  # (rows_idx, flat_dev, counts_dev, total_dev)
         prev_w = 0
         for w in BUCKET_WIDTHS:
             sel = np.nonzero((lens > prev_w) & (lens <= w))[0]
@@ -234,7 +234,7 @@ class DeviceEngine:
                 l = np.zeros(R, dtype=np.int32)
                 s[: len(rows)] = starts[rows]
                 l[: len(rows)] = lens[rows]
-                tok, counts = gather_merge(
+                bflat, counts, btotal = gather_merge_flat(
                     dev,
                     jnp.asarray(s),
                     jnp.asarray(l),
@@ -243,7 +243,7 @@ class DeviceEngine:
                     self._pair_mask,
                     w,
                 )
-                launches.append((rows, tok, counts))
+                launches.append((rows, bflat, counts, btotal))
         ovf = np.nonzero(lens > BUCKET_WIDTHS[-1])[0]
         overflow_rows = [
             (int(r), byte_pair_merge(
@@ -253,21 +253,21 @@ class DeviceEngine:
         ]
 
         all_counts = np.zeros(k, dtype=np.int64)
-        pieces_tok = []
-        for rows, tok, counts in launches:
-            tok_np = np.asarray(tok)[: len(rows)]
+        blocks = []
+        for rows, bflat, counts, btotal in launches:
+            # transfer only the live prefix of the device flat array
+            bt = int(btotal)
+            vals = np.asarray(bflat[:bt])
             cnt_np = np.asarray(counts)[: len(rows)].astype(np.int64)
             all_counts[rows] = cnt_np
-            pieces_tok.append((rows, tok_np, cnt_np))
+            blocks.append((rows, vals, cnt_np))
         for r, ids in overflow_rows:
             all_counts[r] = len(ids)
         out_pos = np.zeros(k + 1, dtype=np.int64)
         np.cumsum(all_counts, out=out_pos[1:])
         total = int(out_pos[-1])
         flat = np.empty(total, dtype=np.int64)
-        for rows, tok_np, cnt_np in pieces_tok:
-            live = tok_np >= 0
-            vals = tok_np[live]  # row-major == token order
+        for rows, vals, cnt_np in blocks:
             if len(vals) == 0:
                 continue
             row_base = np.repeat(out_pos[rows], cnt_np)

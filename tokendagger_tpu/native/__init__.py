@@ -46,12 +46,18 @@ def _build() -> Path | None:
     tmp = out.with_suffix(".tmp.so")
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        str(_SRC), "-o", str(tmp),
+        "-fopenmp", str(_SRC), "-o", str(tmp),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except (OSError, subprocess.SubprocessError):
-        return None
+        try:  # toolchains without OpenMP: single-thread batch fallback
+            subprocess.run(
+                [c for c in cmd if c != "-fopenmp"],
+                check=True, capture_output=True, timeout=120,
+            )
+        except (OSError, subprocess.SubprocessError):
+            return None
     os.replace(tmp, out)
     return out
 
@@ -92,6 +98,12 @@ def get_lib() -> ctypes.CDLL | None:
         lib.td_set_vocab.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.td_encode_batch.restype = ctypes.c_int64
+        lib.td_encode_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int,
         ]
         _LIB = lib
         return _LIB
@@ -134,8 +146,13 @@ class NativeEngine:
         if not self._h:
             raise RuntimeError("td_create failed")
         if ranks:
-            # whole-piece vocab hash (the reference's encode() fast path)
+            # whole-piece vocab hash (the reference's encode() fast path,
+            # also the merge's span-rank table). The packed slot layout
+            # caps token length at 255 bytes — beyond that the engine
+            # cannot be exact, so refuse (caller falls back to Python).
             keys = list(ranks.keys())
+            if any(len(k) > 255 for k in keys):
+                raise RuntimeError("vocab has tokens > 255 bytes")
             blob = b"".join(keys)
             self._vocab_blob = np.frombuffer(blob, dtype=np.uint8)
             lens = np.fromiter((len(k) for k in keys), dtype=np.int32, count=len(keys))
@@ -184,3 +201,29 @@ class NativeEngine:
         if cnt < 0:
             raise RuntimeError("td_encode capacity error")
         return out[:cnt]
+
+    def encode_batch(
+        self, datas: list[bytes], num_threads: int = 8
+    ) -> list[np.ndarray] | None:
+        """Batch-encode segments in one GIL-free native call (OpenMP fan-out
+        in C++ — no Python thread pool). None => caller must fall back."""
+        n_texts = len(datas)
+        if n_texts == 0:
+            return []
+        offs = np.zeros(n_texts + 1, dtype=np.int64)
+        lens = np.fromiter((len(d) for d in datas), dtype=np.int64, count=n_texts)
+        np.cumsum(lens, out=offs[1:])
+        blob = b"".join(datas)
+        out = np.empty(max(1, offs[-1]), dtype=np.int32)
+        counts = np.zeros(n_texts, dtype=np.int64)
+        err = self._lib.td_encode_batch(
+            self._h, blob, offs.ctypes.data, n_texts,
+            out.ctypes.data, counts.ctypes.data, num_threads,
+        )
+        if err == -2:
+            return None
+        if err < 0:
+            raise RuntimeError(f"td_encode_batch error {err}")
+        return [
+            out[offs[i] : offs[i] + counts[i]] for i in range(n_texts)
+        ]

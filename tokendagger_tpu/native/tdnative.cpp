@@ -24,6 +24,10 @@
 #include <cstring>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 namespace {
 
 constexpr int32_t MAX_RANK = 0x7FFFFFFF;
@@ -296,6 +300,7 @@ struct Workspace {
   std::vector<int32_t> rank;
   std::vector<int32_t> nxt;
   std::vector<int32_t> prv;
+  std::vector<int32_t> start;
 };
 
 }  // namespace
@@ -368,38 +373,49 @@ int64_t td_scan(const void* h, const uint8_t* data, int64_t n,
 // ids[] holds initial byte ranks, returns merged count).
 // Mirrors the reference merge loop semantics
 // (/root/reference/src/tiktoken/tiktoken.cpp:282-378) over id pairs.
+// Pair-rank lookup during a merge: the rank of the pair (part i, part j)
+// is the vocab rank of the byte span covering both parts — the same
+// byte-span hashing the reference uses (tiktoken.cpp:282-296). One shared
+// table (the whole-piece vocab hash) serves both the fast path and the
+// merge, with the 256x256 LUT short-circuiting 2-byte spans.
+static inline int32_t span_rank(const Tables* t, const uint8_t* bytes,
+                                int64_t s, int64_t e) {
+  if (e - s == 2) return t->pair_lut[(size_t)bytes[s] * 256 + bytes[s + 1]];
+  int32_t r = vocab_lookup(t, bytes + s, e - s);
+  return r >= 0 ? r : MAX_RANK;
+}
+
 static int64_t merge_ids(const Tables* t, const uint8_t* bytes, int32_t* ids,
                          int64_t len, Workspace& ws) {
   if (len <= 1) return len;
-  const int32_t* lut = t->pair_lut.empty() ? nullptr : t->pair_lut.data();
+  if (t->pair_lut.empty()) {
+    // no vocab hash installed: fall back to the id-pair table
+    return -1;
+  }
   if (len == 2) {
-    int32_t r = lut ? lut[(size_t)bytes[0] * 256 + bytes[1]]
-                    : pair_lookup(t, ids[0], ids[1]);
+    int32_t r = t->pair_lut[(size_t)bytes[0] * 256 + bytes[1]];
     if (r == MAX_RANK) return 2;
     ids[0] = r;
     return 1;
   }
-  if ((int64_t)ws.rank.size() < len) {
-    ws.rank.resize(len);
-    ws.nxt.resize(len);
-    ws.prv.resize(len);
+  if ((int64_t)ws.rank.size() < len + 1) {
+    ws.rank.resize(len + 1);
+    ws.nxt.resize(len + 1);
+    ws.prv.resize(len + 1);
+    ws.start.resize(len + 1);
   }
   auto& rank = ws.rank;
   auto& nxt = ws.nxt;
   auto& prv = ws.prv;
-  // rank[i] = rank of pair (ids[i], ids[i+1]) over the live list.
-  // Init pass: all parts are single bytes, so the 256x256 LUT answers
-  // every lookup from cache.
+  auto& start = ws.start;
+  // part i spans [start[i], start[nxt[i]]); start[len] = len sentinel.
+  // rank[i] = rank of the byte span of parts (i, nxt[i]).
   int64_t min_rank = MAX_RANK;
   int64_t min_idx = -1;
   for (int64_t i = 0; i < len; ++i) {
-    int32_t r;
-    if (i + 1 >= len)
-      r = MAX_RANK;
-    else if (lut)
-      r = lut[(size_t)bytes[i] * 256 + bytes[i + 1]];
-    else
-      r = pair_lookup(t, ids[i], ids[i + 1]);
+    int32_t r = (i + 1 < len)
+                    ? t->pair_lut[(size_t)bytes[i] * 256 + bytes[i + 1]]
+                    : MAX_RANK;
     rank[i] = r;
     if (r < min_rank) {
       min_rank = r;
@@ -407,18 +423,24 @@ static int64_t merge_ids(const Tables* t, const uint8_t* bytes, int32_t* ids,
     }
     nxt[i] = (int32_t)(i + 1);
     prv[i] = (int32_t)(i - 1);
+    start[i] = (int32_t)i;
   }
+  start[len] = (int32_t)len;
   while (min_rank != MAX_RANK) {
     int64_t i = min_idx;
-    int64_t j = nxt[i];          // right partner
-    int64_t k = j < len ? nxt[j] : len;  // after pair
-    ids[i] = (int32_t)min_rank;  // pair value IS merged token id
+    int64_t j = nxt[i];                  // right partner
+    int64_t k = j < len ? nxt[j] : len;  // part after the pair
+    ids[i] = (int32_t)min_rank;          // pair value IS merged token id
     nxt[i] = (int32_t)k;
     if (k < len) prv[k] = (int32_t)i;
     rank[j] = MAX_RANK;
-    rank[i] = (k < len) ? pair_lookup(t, ids[i], ids[k]) : MAX_RANK;
+    // refresh: span of (i, k) and of (prv[i], i)
+    rank[i] = (k < len)
+                  ? span_rank(t, bytes, start[i],
+                              start[nxt[k] <= len ? nxt[k] : len])
+                  : MAX_RANK;
     int64_t p = prv[i];
-    if (p >= 0) rank[p] = pair_lookup(t, ids[p], ids[i]);
+    if (p >= 0) rank[p] = span_rank(t, bytes, start[p], start[k]);
     // rescan for global min (leftmost)
     min_rank = MAX_RANK;
     min_idx = -1;
@@ -467,11 +489,39 @@ int64_t td_encode(const void* h, const uint8_t* data, int64_t n, int32_t* out,
       piece[b] = r;
     }
     int64_t k = merge_ids(t, data + b0, piece.data(), plen, ws);
+    if (k < 0) return -2;  // no vocab hash installed: caller falls back
     if (count + k > cap) return -1;
     std::memcpy(out + count, piece.data(), k * sizeof(int32_t));
     count += k;
   }
   return count;
+}
+
+// Batch encode: texts[i] = data + offs[i], length offs[i+1]-offs[i]
+// (concatenated buffer with n_texts+1 offsets). Token ids for text i are
+// written at out + offs[i] (ids never outnumber bytes); counts[i] receives
+// the id count. OpenMP-parallel across texts; the whole call runs without
+// the GIL (ctypes). Returns 0, or the first nonzero per-text error
+// (-2 = vocab lacks single-byte ranks -> caller falls back).
+int64_t td_encode_batch(const void* h, const uint8_t* data,
+                        const int64_t* offs, int64_t n_texts, int32_t* out,
+                        int64_t* counts, int nthreads) {
+  int64_t err = 0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1) num_threads(nthreads)
+#endif
+  for (int64_t i = 0; i < n_texts; ++i) {
+    int64_t n = offs[i + 1] - offs[i];
+    int64_t r = td_encode(h, data + offs[i], n, out + offs[i], n);
+    counts[i] = r >= 0 ? r : 0;
+    if (r < 0) {
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+      err = r;
+    }
+  }
+  return err;
 }
 
 }  // extern "C"

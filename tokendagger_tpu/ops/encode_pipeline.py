@@ -39,3 +39,36 @@ def gather_merge(
     gidx = jnp.clip(gidx, 0, data.shape[0] - 1)
     buf = jnp.where(cols < lens[:, None], data[gidx], 0)
     return merge_rows_local(buf, lens, byte_rank, pair_rows, mask=mask)
+
+
+@partial(jax.jit, static_argnames=("mask", "width"))
+def gather_merge_flat(
+    data: jnp.ndarray,
+    starts: jnp.ndarray,
+    lens: jnp.ndarray,
+    byte_rank: jnp.ndarray,
+    pair_rows: jnp.ndarray,
+    mask: int,
+    width: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Like gather_merge but flattens on device: returns
+    (flat (R*width,) int32 — the live tokens of all rows concatenated in
+    row order, -1 beyond `total` —, counts (R,), total scalar).
+
+    The caller transfers only flat[:total] (host-side slice after syncing
+    `total`), cutting device->host traffic by ~width/avg_tokens_per_piece.
+    """
+    R = starts.shape[0]
+    tok, counts = gather_merge(
+        data, starts, lens, byte_rank, pair_rows, mask, width
+    )
+    live = tok >= 0
+    out_pos = jnp.cumsum(counts) - counts  # exclusive
+    col_rank = jnp.cumsum(live, axis=1) - 1
+    cap = R * width
+    flat_idx = jnp.where(live, out_pos[:, None] + col_rank, cap)
+    flat = jnp.full((cap,), -1, jnp.int32).at[flat_idx.reshape(-1)].set(
+        tok.reshape(-1), mode="drop"
+    )
+    total = jnp.sum(counts)
+    return flat, counts, total

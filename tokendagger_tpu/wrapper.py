@@ -289,6 +289,9 @@ class Tokenizer:
                     np.concatenate(parts) if parts else np.empty(0, np.int32)
                 )
             return out
+        # Python threads over per-text GIL-free native calls measure faster
+        # than the C++-side OpenMP batch (native/__init__.py encode_batch):
+        # per-text output allocation parallelizes and no blob concat is paid.
         datas = [t.encode("utf-8") for t in text]
         with ThreadPoolExecutor(num_threads) as e:
             arrays = list(e.map(native.encode, datas))
