@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import json
 import random
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -133,12 +134,21 @@ def main() -> None:
             detail["host_np_mbps"] = round(best_np, 2)
         except Exception:  # noqa: BLE001
             pass
+        # TPU measurement runs in a subprocess with a hard timeout: the
+        # remote-TPU tunnel on this machine can wedge mid-compile, and a
+        # hung probe must not take the whole benchmark down with it.
         tpu_mbps = 0.0
         try:
-            tok_t, _ = load_tokenizer("tpu")
-            tpu_mbps = _measure(tok_t, chunks, n_bytes, args.runs, 1)
+            out = subprocess.run(
+                [sys.executable, __file__, "--backend", "tpu",
+                 "--mb", str(min(args.mb, 2.0)), "--runs", "1",
+                 "--chunk-kb", str(args.chunk_kb)],
+                capture_output=True, text=True, timeout=420,
+            )
+            line = out.stdout.strip().splitlines()[-1] if out.stdout else ""
+            tpu_mbps = float(json.loads(line)["value"]) if line else 0.0
             detail["tpu_mbps"] = round(tpu_mbps, 2)
-        except Exception as e:  # noqa: BLE001 - no accelerator available
+        except Exception as e:  # noqa: BLE001 - no accelerator / hang / error
             detail["tpu_error"] = str(e)[:120]
         best = max(host_mbps, tpu_mbps)
         detail["winner"] = "tpu" if tpu_mbps > host_mbps else "host"

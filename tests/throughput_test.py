@@ -179,9 +179,62 @@ def main() -> int:
 
     path = args.output or f"throughput_llama_{int(args.text_size)}mb.json"
     Path(path).write_text(json.dumps(out, indent=2))
-    print(f"Wrote {path}")
+    svg_path = Path(path).with_suffix(".svg")
+    svg_path.write_text(render_svg(out))
+    print(f"Wrote {path} and {svg_path}")
     print(json.dumps(out))
     return 0
+
+
+def render_svg(data: dict) -> str:
+    """Hand-rolled grouped-bar SVG of MB/s per thread count (the reference
+    emits an equivalent chart from its throughput run)."""
+    series = [("tokendagger_tpu", data["tokendagger_throughput"], "#4c78a8")]
+    if "tiktoken_throughput" in data:
+        series.append(("tiktoken", data["tiktoken_throughput"], "#f58518"))
+    if "hf_throughput" in data:
+        series.append(("hf-fast", data["hf_throughput"], "#54a24b"))
+    threads = data["thread_counts"]
+    W, H, M = 720, 360, 50
+    vmax = max(max(s[1]) for s in series) * 1.15 or 1
+    n_groups = len(threads)
+    group_w = (W - 2 * M) / n_groups
+    bar_w = group_w / (len(series) + 0.7)
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{W}" height="{H}" '
+        f'font-family="sans-serif" font-size="11">',
+        f'<text x="{W/2}" y="18" text-anchor="middle" font-size="14">'
+        f'encode_batch throughput — {data["text_size_mb"]} MB corpus</text>',
+    ]
+    for g, t in enumerate(threads):
+        for s_i, (name, vals, color) in enumerate(series):
+            v = vals[g]
+            h = (H - 2 * M) * v / vmax
+            x = M + g * group_w + s_i * bar_w
+            y = H - M - h
+            parts.append(
+                f'<rect x="{x:.1f}" y="{y:.1f}" width="{bar_w * 0.9:.1f}" '
+                f'height="{h:.1f}" fill="{color}"/>'
+            )
+            parts.append(
+                f'<text x="{x + bar_w * 0.45:.1f}" y="{y - 3:.1f}" '
+                f'text-anchor="middle" font-size="9">{v:.0f}</text>'
+            )
+        parts.append(
+            f'<text x="{M + g * group_w + group_w / 2:.1f}" y="{H - M + 14}" '
+            f'text-anchor="middle">{t}t</text>'
+        )
+    for s_i, (name, _, color) in enumerate(series):
+        parts.append(
+            f'<rect x="{M + s_i * 150}" y="{H - 18}" width="10" height="10" '
+            f'fill="{color}"/>'
+            f'<text x="{M + s_i * 150 + 14}" y="{H - 9}">{name}</text>'
+        )
+    parts.append(
+        f'<line x1="{M}" y1="{H - M}" x2="{W - M}" y2="{H - M}" '
+        f'stroke="#333"/></svg>'
+    )
+    return "".join(parts)
 
 
 if __name__ == "__main__":

@@ -104,7 +104,10 @@ class DeviceEngine:
         self._byte_rank = jnp.asarray(self.tables.byte_rank)
         self._pair_rows = jnp.asarray(self.tables.pair.rows)
         self._pair_mask = int(self.tables.pair.mask)
+        self._pair_lut = jnp.asarray(self.tables.pair_lut)
         self._missing_bytes = bool((self.tables.byte_rank < 0).any())
+        # the Pallas MXU first-round kernel runs compiled on TPU only
+        self._use_pallas = jax.default_backend() == "tpu"
 
         kind = classify_pattern(pattern)
         if stream is None:
@@ -242,6 +245,8 @@ class DeviceEngine:
                     self._pair_rows,
                     self._pair_mask,
                     w,
+                    self._pair_lut,
+                    self._use_pallas,
                 )
                 launches.append((rows, bflat, counts, btotal))
         ovf = np.nonzero(lens > BUCKET_WIDTHS[-1])[0]

@@ -19,10 +19,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .merge import merge_rows_local
+from .merge import merge_rows_from_state, merge_rows_local
 
 
-@partial(jax.jit, static_argnames=("mask", "width"))
+@partial(jax.jit, static_argnames=("mask", "width", "use_pallas"))
 def gather_merge(
     data: jnp.ndarray,       # (N,) uint8 raw byte stream (device-resident)
     starts: jnp.ndarray,     # (R,) int32 piece start byte offsets
@@ -31,17 +31,28 @@ def gather_merge(
     pair_rows: jnp.ndarray,  # (nb, 12) int32
     mask: int,
     width: int,
+    pair_lut: jnp.ndarray | None = None,  # (256, 256) int32
+    use_pallas: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (tok (R, width) int32 with -1 dead slots, counts (R,))."""
+    """Returns (tok (R, width) int32 with -1 dead slots, counts (R,)).
+
+    With ``use_pallas`` the first-round pair ranks come from the MXU
+    one-hot kernel (ops/pallas_lut.py) instead of hash gathers.
+    """
     R = starts.shape[0]
     cols = jnp.arange(width, dtype=jnp.int32)[None, :]
     gidx = starts[:, None] + cols
     gidx = jnp.clip(gidx, 0, data.shape[0] - 1)
     buf = jnp.where(cols < lens[:, None], data[gidx], 0)
+    if use_pallas and pair_lut is not None:
+        from .pallas_lut import lut_init
+
+        tok0, pr0 = lut_init(buf, lens, byte_rank, pair_lut)
+        return merge_rows_from_state(tok0, pr0, lens, pair_rows, mask=mask)
     return merge_rows_local(buf, lens, byte_rank, pair_rows, mask=mask)
 
 
-@partial(jax.jit, static_argnames=("mask", "width"))
+@partial(jax.jit, static_argnames=("mask", "width", "use_pallas"))
 def gather_merge_flat(
     data: jnp.ndarray,
     starts: jnp.ndarray,
@@ -50,6 +61,8 @@ def gather_merge_flat(
     pair_rows: jnp.ndarray,
     mask: int,
     width: int,
+    pair_lut: jnp.ndarray | None = None,
+    use_pallas: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Like gather_merge but flattens on device: returns
     (flat (R*width,) int32 — the live tokens of all rows concatenated in
@@ -60,7 +73,8 @@ def gather_merge_flat(
     """
     R = starts.shape[0]
     tok, counts = gather_merge(
-        data, starts, lens, byte_rank, pair_rows, mask, width
+        data, starts, lens, byte_rank, pair_rows, mask, width,
+        pair_lut, use_pallas,
     )
     live = tok >= 0
     out_pos = jnp.cumsum(counts) - counts  # exclusive

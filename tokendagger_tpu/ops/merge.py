@@ -73,14 +73,35 @@ def merge_rows_local(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """BPE-merge every row. Returns (tok (R, C) int32 with -1 at dead slots,
     counts (R,) int32). Live slots in slot order are the token ids."""
-    R, C = byte_buf.shape
+    cols = jnp.arange(byte_buf.shape[1], dtype=jnp.int32)[None, :]
+    lens = lengths[:, None]
+    valid = cols < lens
+    tok0 = jnp.where(valid, byte_rank[byte_buf.astype(jnp.int32)], -1)
+    pr0 = jnp.where(
+        cols < (lens - 1),
+        pair_lookup(rows, mask, tok0, jnp.roll(tok0, -1, axis=1)),
+        MAX_RANK,
+    )
+    return merge_rows_from_state(tok0, pr0, lengths, rows, mask=mask)
+
+
+def merge_rows_from_state(
+    tok0: jnp.ndarray,       # (R, C) int32 initial token ids (-1 dead)
+    pr0: jnp.ndarray,        # (R, C) int32 initial pair ranks (MAX if none)
+    lengths: jnp.ndarray,    # (R,) int32
+    rows: jnp.ndarray,       # pair table rows (nb, 12) int32
+    *,
+    mask: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """The merge while-loop, starting from externally computed first-round
+    state (e.g. the Pallas MXU one-hot kernel, ops/pallas_lut.py)."""
+    R, C = tok0.shape
     END = C
     TRASH = C + 1
     cols = jnp.arange(C, dtype=jnp.int32)[None, :]
     lens = lengths[:, None]
     valid = cols < lens
 
-    tok0 = jnp.where(valid, byte_rank[byte_buf.astype(jnp.int32)], -1)
     tok = jnp.concatenate([tok0, jnp.full((R, 2), -1, jnp.int32)], axis=1)
 
     has_pair = cols < (lens - 1)
@@ -91,11 +112,6 @@ def merge_rows_local(
     prv0 = jnp.where((cols > 0) & valid, cols - 1, TRASH)
     prv = jnp.concatenate([prv0, jnp.full((R, 2), TRASH, jnp.int32)], axis=1)
 
-    pr0 = jnp.where(
-        has_pair,
-        pair_lookup(rows, mask, tok0, jnp.roll(tok0, -1, axis=1)),
-        MAX_RANK,
-    )
     pr = jnp.concatenate([pr0, jnp.full((R, 2), MAX_RANK, jnp.int32)], axis=1)
 
     rr = jnp.arange(R, dtype=jnp.int32)

@@ -118,6 +118,7 @@ class PairTable:
 @dataclass
 class DeviceTables:
     pair: PairTable
+    pair_lut: np.ndarray         # (256, 256) int32: rank of 2-byte token, MAX if none
     byte_rank: np.ndarray        # (256,) int32, -1 if byte has no rank
     decode_offsets: np.ndarray   # (n_ids,) int64 into decode_blob
     decode_lengths: np.ndarray   # (n_ids,) int32, -1 for unknown id
@@ -155,12 +156,13 @@ def build_tables(
     use_cache: bool = True,
 ) -> DeviceTables:
     special_tokens = special_tokens or {}
-    # v2: + all_reachable field (bump on schema changes; digest covers vocab)
-    cache_path = _cache_dir() / f"tables_v2_{_vocab_digest(ranks, special_tokens)}.npz"
+    # v3: + pair_lut (bump on schema changes; digest covers vocab)
+    cache_path = _cache_dir() / f"tables_v3_{_vocab_digest(ranks, special_tokens)}.npz"
     if use_cache and cache_path.exists():
         z = np.load(cache_path)
         return DeviceTables(
             pair=PairTable(rows=z["pair_rows"], mask=int(z["pair_mask"]), n_keys=int(z["pair_n"])),
+            pair_lut=z["pair_lut"],
             byte_rank=z["byte_rank"],
             decode_offsets=z["decode_offsets"],
             decode_lengths=z["decode_lengths"],
@@ -200,6 +202,12 @@ def build_tables(
         if r is not None:
             byte_rank[i] = r
 
+    # --- 2-byte pair LUT (first merge round; MXU one-hot lookups) ----------
+    pair_lut = np.full((256, 256), MAX_RANK, dtype=np.int32)
+    for tb, rank in ranks.items():
+        if len(tb) == 2:
+            pair_lut[tb[0], tb[1]] = rank
+
     # --- decode tables (ordinary + special ids in one address space) -------
     max_id = max(max(ranks.values()), max(special_tokens.values(), default=0))
     n_ids = max_id + 1
@@ -233,6 +241,7 @@ def build_tables(
 
     tables = DeviceTables(
         pair=pair,
+        pair_lut=pair_lut,
         byte_rank=byte_rank,
         decode_offsets=decode_offsets,
         decode_lengths=decode_lengths,
@@ -248,6 +257,7 @@ def build_tables(
             pair_rows=pair.rows,
             pair_mask=pair.mask,
             pair_n=pair.n_keys,
+            pair_lut=pair_lut,
             byte_rank=byte_rank,
             decode_offsets=decode_offsets,
             decode_lengths=decode_lengths,
