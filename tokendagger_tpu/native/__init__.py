@@ -22,9 +22,12 @@ from pathlib import Path
 import numpy as np
 
 _SRC = Path(__file__).with_name("tdnative.cpp")
+_PYSRC = Path(__file__).with_name("tdpy.cpp")
 _LOCK = threading.Lock()
 _LIB: ctypes.CDLL | None = None
 _LIB_FAILED = False
+_PYMOD = None
+_PYMOD_FAILED = False
 
 
 def _cache_dir() -> Path:
@@ -60,6 +63,54 @@ def _build() -> Path | None:
             return None
     os.replace(tmp, out)
     return out
+
+
+def _build_pymod() -> Path | None:
+    """Compile the CPython extension variant (tdnative + tdpy in one .so)."""
+    import sysconfig
+
+    src = _SRC.read_bytes() + _PYSRC.read_bytes()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    out = _cache_dir() / f"tdpy_{tag}.so"
+    if out.exists():
+        return out
+    inc = sysconfig.get_paths()["include"]
+    tmp = out.with_suffix(".tmp.so")
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        f"-I{inc}", str(_SRC), str(_PYSRC), "-o", str(tmp),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+    except (OSError, subprocess.SubprocessError):
+        return None
+    os.replace(tmp, out)
+    return out
+
+
+def get_pymod():
+    """The CPython extension module (fast list-returning binding), or None."""
+    global _PYMOD, _PYMOD_FAILED
+    if _PYMOD is not None or _PYMOD_FAILED:
+        return _PYMOD
+    with _LOCK:
+        if _PYMOD is not None or _PYMOD_FAILED:
+            return _PYMOD
+        path = _build_pymod()
+        if path is None:
+            _PYMOD_FAILED = True
+            return None
+        try:
+            import importlib.util
+
+            spec = importlib.util.spec_from_file_location("tdpy", path)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            _PYMOD = mod
+        except Exception:  # noqa: BLE001
+            _PYMOD_FAILED = True
+            return None
+        return _PYMOD
 
 
 def get_lib() -> ctypes.CDLL | None:
@@ -172,6 +223,27 @@ class NativeEngine:
                 len(keys),
             )
 
+        # optional CPython-extension binding: GIL-free encode that builds
+        # the result PyList directly (no numpy->tolist pass)
+        self._py = None
+        self._py_cap = None
+        mod = get_pymod()
+        if mod is not None:
+            try:
+                self._py_cap = mod.create(
+                    self._classes, self._fold, self._pair_rows,
+                    self._pair_rows.shape[0], pair_mask, self._byte_rank,
+                    1 if contractions else 0,
+                )
+                if ranks:
+                    mod.set_vocab(
+                        self._py_cap, self._vocab_blob, self._vocab_offs,
+                        self._vocab_lens, self._vocab_ranks, len(ranks),
+                    )
+                self._py = mod
+            except Exception:  # noqa: BLE001
+                self._py = None
+
     def __del__(self):
         h = getattr(self, "_h", None)
         if h:
@@ -201,6 +273,15 @@ class NativeEngine:
         if cnt < 0:
             raise RuntimeError("td_encode capacity error")
         return out[:cnt]
+
+    def encode_list(self, data: bytes) -> list | None:
+        """Ordinary-encode one segment returning a Python list directly
+        (CPython-extension path). None => caller must fall back."""
+        if self._py is None:
+            return None
+        if not data:
+            return []
+        return self._py.encode_list(self._py_cap, data)
 
     def encode_batch(
         self, datas: list[bytes], num_threads: int = 8

@@ -144,7 +144,11 @@ class Tokenizer:
         """Ordinary-encode on the host: native engine if available."""
         native = self._get_native()
         if native is not None:
-            ids = native.encode(text.encode("utf-8"))
+            data = text.encode("utf-8")
+            lst = native.encode_list(data)  # C-extension: builds the PyList
+            if lst is not None:
+                return lst
+            ids = native.encode(data)
             if ids is not None:
                 return ids.tolist()
         return self._host.encode_ordinary(text)
@@ -239,6 +243,13 @@ class Tokenizer:
         total = sum(len(t) for t in text)
         if self._use_device(total):
             return self._get_device().encode_batch(list(text), allowed)
+        native = self._get_native()
+        if native is not None and not allowed and native._py is not None:
+            datas = [t.encode("utf-8") for t in text]
+            with ThreadPoolExecutor(num_threads) as e:
+                lists = list(e.map(native.encode_list, datas))
+            if all(x is not None for x in lists):
+                return lists  # type: ignore[return-value]
         arrays = self._encode_batch_host_np(text, allowed, num_threads)
         if arrays is not None:
             return [a.tolist() for a in arrays]
