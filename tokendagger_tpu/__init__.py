@@ -11,6 +11,7 @@ Public surface mirrors the reference package
 ``TokenDaggerError``.
 """
 
+from .streaming import StreamingEncoder  # noqa: F401
 from .wrapper import (  # noqa: F401
     Encoding,
     Tokenizer,
@@ -30,6 +31,7 @@ __version__ = "0.1.0"
 __all__ = [
     "Tokenizer",
     "Encoding",
+    "StreamingEncoder",
     "TokenDaggerError",
     "create_tokenizer",
     "load_tokenizer",
