@@ -77,9 +77,9 @@ inline uint64_t fnv1a(const uint8_t* p, int64_t n) {
   return h;
 }
 
-inline int32_t vocab_lookup(const Tables* t, const uint8_t* p, int64_t n) {
+inline int32_t vocab_lookup_h(const Tables* t, const uint8_t* p, int64_t n,
+                              uint64_t h) {
   if (!t->vocab_mask || n > 255) return -1;
-  uint64_t h = fnv1a(p, n);
   uint32_t fp = (uint32_t)(h >> 32) | 1u;  // nonzero fingerprint
   uint64_t i = h & t->vocab_mask;
   for (;;) {
@@ -91,6 +91,73 @@ inline int32_t vocab_lookup(const Tables* t, const uint8_t* p, int64_t n) {
     i = (i + 1) & t->vocab_mask;
   }
 }
+
+inline int32_t vocab_lookup(const Tables* t, const uint8_t* p, int64_t n) {
+  if (!t->vocab_mask || n > 255) return -1;
+  return vocab_lookup_h(t, p, n, fnv1a(p, n));
+}
+
+// -------------------------------------------------------------------------
+// Per-thread memo of piece -> token ids. Natural text repeats a small set
+// of vocab-missing pieces over and over (capitalized words, space-prefixed
+// forms, foreign words); memoizing their merge result collapses the merge
+// cost to a probe + memcpy. Keyed by the FNV hash already computed for the
+// vocab fast path; exact (keys byte-compared in the arena).
+// -------------------------------------------------------------------------
+struct MemoEntry {
+  uint64_t fp = 0;     // full hash; 0 = empty
+  uint32_t key_off = 0;
+  uint32_t ids_off = 0;
+  uint16_t len = 0;
+  uint16_t n_ids = 0;
+};
+
+struct MemoCache {
+  const void* owner = nullptr;
+  std::vector<MemoEntry> slots;
+  std::vector<uint8_t> key_arena;
+  std::vector<int32_t> id_arena;
+
+  static constexpr size_t N_SLOTS = 1 << 16;
+  static constexpr size_t MAX_ARENA = 4u << 20;
+
+  void reset(const void* own) {
+    owner = own;
+    slots.assign(N_SLOTS, MemoEntry{});
+    key_arena.clear();
+    id_arena.clear();
+  }
+
+  const MemoEntry* find(uint64_t h, const uint8_t* p, int64_t n) const {
+    const MemoEntry& e = slots[h & (N_SLOTS - 1)];
+    if (e.fp == h && e.len == n &&
+        std::memcmp(key_arena.data() + e.key_off, p, n) == 0)
+      return &e;
+    return nullptr;
+  }
+
+  void insert(uint64_t h, const uint8_t* p, int64_t n, const int32_t* ids,
+              int64_t n_ids) {
+    if (n > 0xFFFF || n_ids > 0xFFFF) return;
+    if (key_arena.size() + n > MAX_ARENA ||
+        id_arena.size() + n_ids > MAX_ARENA) {
+      // arena full: drop everything (simple, rare)
+      slots.assign(N_SLOTS, MemoEntry{});
+      key_arena.clear();
+      id_arena.clear();
+    }
+    MemoEntry& e = slots[h & (N_SLOTS - 1)];
+    e.fp = h;
+    e.key_off = (uint32_t)key_arena.size();
+    e.ids_off = (uint32_t)id_arena.size();
+    e.len = (uint16_t)n;
+    e.n_ids = (uint16_t)n_ids;
+    key_arena.insert(key_arena.end(), p, p + n);
+    id_arena.insert(id_arena.end(), ids, ids + n_ids);
+  }
+};
+
+thread_local MemoCache g_memo;
 
 // ---------------------------------------------------------------------------
 // pair-table lookup (bit-identical to tables._mix_hash / ops.merge._mix)
@@ -475,11 +542,21 @@ int64_t td_encode(const void* h, const uint8_t* data, int64_t n, int32_t* out,
     int64_t b0 = p - data;
     int64_t plen = e - p;
     p = e;
+    uint64_t h = fnv1a(data + b0, plen);
     // whole-piece fast path (reference: tiktoken.cpp:210-215)
-    int32_t direct = vocab_lookup(t, data + b0, plen);
+    int32_t direct = vocab_lookup_h(t, data + b0, plen, h);
     if (direct >= 0) {
       if (count + 1 > cap) return -1;
       out[count++] = direct;
+      continue;
+    }
+    // memoized merge result for repeated vocab-missing pieces
+    if (g_memo.owner != t) g_memo.reset(t);
+    if (const MemoEntry* me = g_memo.find(h, data + b0, plen)) {
+      if (count + me->n_ids > cap) return -1;
+      std::memcpy(out + count, g_memo.id_arena.data() + me->ids_off,
+                  me->n_ids * sizeof(int32_t));
+      count += me->n_ids;
       continue;
     }
     if ((int64_t)piece.size() < plen) piece.resize(plen);
@@ -491,6 +568,7 @@ int64_t td_encode(const void* h, const uint8_t* data, int64_t n, int32_t* out,
     int64_t k = merge_ids(t, data + b0, piece.data(), plen, ws);
     if (k < 0) return -2;  // no vocab hash installed: caller falls back
     if (count + k > cap) return -1;
+    g_memo.insert(h, data + b0, plen, piece.data(), k);
     std::memcpy(out + count, piece.data(), k * sizeof(int32_t));
     count += k;
   }
