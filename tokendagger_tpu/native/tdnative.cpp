@@ -20,6 +20,7 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC tdnative.cpp -o tdnative.so
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -452,6 +453,86 @@ static inline int32_t span_rank(const Tables* t, const uint8_t* bytes,
   return r >= 0 ? r : MAX_RANK;
 }
 
+// Exact heap-based merge for long pieces: O(L log L) instead of the
+// rescan loop's O(L^2) (which degenerates on pathological pieces like a
+// megabyte-long character run — the reference and tiktoken share that
+// quadratic behavior; this path removes it). A lazy-invalidation min-heap
+// ordered by (rank, pos) reproduces the sequential leftmost-min order
+// exactly: stale entries are detected by comparing against the current
+// rank of their position and skipped.
+struct HeapItem {
+  int32_t rank;
+  int32_t pos;
+  bool operator<(const HeapItem& o) const {  // max-heap std adapter -> invert
+    if (rank != o.rank) return rank > o.rank;
+    return pos > o.pos;
+  }
+};
+
+static int64_t merge_ids_heap(const Tables* t, const uint8_t* bytes,
+                              int32_t* ids, int64_t len, Workspace& ws) {
+  auto& rank = ws.rank;
+  auto& nxt = ws.nxt;
+  auto& prv = ws.prv;
+  auto& start = ws.start;
+  if ((int64_t)rank.size() < len + 1) {
+    rank.resize(len + 1);
+    nxt.resize(len + 1);
+    prv.resize(len + 1);
+    start.resize(len + 1);
+  }
+  std::vector<HeapItem> heap;
+  heap.reserve(len);
+  for (int64_t i = 0; i < len; ++i) {
+    int32_t r = (i + 1 < len)
+                    ? t->pair_lut[(size_t)bytes[i] * 256 + bytes[i + 1]]
+                    : MAX_RANK;
+    rank[i] = r;
+    nxt[i] = (int32_t)(i + 1);
+    prv[i] = (int32_t)(i - 1);
+    start[i] = (int32_t)i;
+    if (r != MAX_RANK) heap.push_back({r, (int32_t)i});
+  }
+  start[len] = (int32_t)len;
+  std::make_heap(heap.begin(), heap.end());
+  while (!heap.empty()) {
+    std::pop_heap(heap.begin(), heap.end());
+    HeapItem it = heap.back();
+    heap.pop_back();
+    if (rank[it.pos] != it.rank) continue;  // stale (merged away / refreshed)
+    int64_t i = it.pos;
+    int64_t j = nxt[i];
+    int64_t k = j < len ? nxt[j] : len;
+    ids[i] = it.rank;
+    nxt[i] = (int32_t)k;
+    if (k < len) prv[k] = (int32_t)i;
+    rank[j] = MAX_RANK;
+    int32_t ri = (k < len) ? span_rank(t, bytes, start[i],
+                                       start[nxt[k] <= len ? nxt[k] : len])
+                           : MAX_RANK;
+    rank[i] = ri;
+    if (ri != MAX_RANK) {
+      heap.push_back({ri, (int32_t)i});
+      std::push_heap(heap.begin(), heap.end());
+    }
+    int64_t pp = prv[i];
+    if (pp >= 0) {
+      int32_t rp = span_rank(t, bytes, start[pp], start[k]);
+      rank[pp] = rp;
+      if (rp != MAX_RANK) {
+        heap.push_back({rp, (int32_t)pp});
+        std::push_heap(heap.begin(), heap.end());
+      }
+    }
+  }
+  int64_t w = 0;
+  for (int64_t q = 0; q < len; q = nxt[q]) ids[w++] = ids[q];
+  return w;
+}
+
+// Above this piece length the heap merge wins over the rescan loop.
+constexpr int64_t HEAP_MERGE_MIN = 96;
+
 static int64_t merge_ids(const Tables* t, const uint8_t* bytes, int32_t* ids,
                          int64_t len, Workspace& ws) {
   if (len <= 1) return len;
@@ -465,6 +546,7 @@ static int64_t merge_ids(const Tables* t, const uint8_t* bytes, int32_t* ids,
     ids[0] = r;
     return 1;
   }
+  if (len >= HEAP_MERGE_MIN) return merge_ids_heap(t, bytes, ids, len, ws);
   if ((int64_t)ws.rank.size() < len + 1) {
     ws.rank.resize(len + 1);
     ws.nxt.resize(len + 1);
