@@ -28,6 +28,10 @@ PATTERN_NOCONTR = (
 )
 PAT_NC = regex.compile(PATTERN_NOCONTR)
 
+from tokendagger_tpu.vocab import CL100K_PATTERN  # noqa: E402
+
+PAT_CL = regex.compile(CL100K_PATTERN)
+
 EDGE_TEXTS = [
     "", "a", "A", "hello world", "Hello World", "HELLO", "HTTPConnection",
     "it's", "IT'S", "it'S", "don't you'll we're I've he'd I'm", "can'T",
@@ -61,8 +65,10 @@ def oracle_spans(pat, text):
 
 def check(text, tag, verbose=True):
     ok = True
-    for pat, contr in ((PAT, True), (PAT_NC, False)):
-        got = split_spans(text, contractions=contr)
+    for pat, profile in (
+        (PAT, "llama4"), (PAT_NC, "nocontract"), (PAT_CL, "cl100k")
+    ):
+        got = split_spans(text, profile=profile)
         want = oracle_spans(pat, text)
         if got != want:
             ok = False
@@ -71,7 +77,7 @@ def check(text, tag, verbose=True):
                     ((a, b) for a, b in zip(got, want) if a != b),
                     (("len", len(got)), ("len", len(want))),
                 )
-                print(f"MISMATCH [{tag}] contractions={contr}: "
+                print(f"MISMATCH [{tag}] profile={profile}: "
                       f"got {diff[0]} want {diff[1]}")
                 print("  text:", repr(text[:120]))
     return ok

@@ -120,6 +120,7 @@ class DeviceEngine:
             )
         self.stream = stream
         self._contractions = kind != "nocontract"
+        self._profile = kind or "llama4"
         if self.stream:
             from .scanner_ref import _fold_id_table
             from .unicode_tables import get_tables
@@ -195,6 +196,7 @@ class DeviceEngine:
             self._classes,
             self._fold_id,
             contractions=self._contractions,
+            profile=self._profile,
         )
         k = int(n_pieces)
         if k == 0:

@@ -163,18 +163,25 @@ def get_lib() -> ctypes.CDLL | None:
 class NativeEngine:
     """Native scan+merge over one vocab. Thread-safe (stateless calls)."""
 
+    # scanner profile ids (must match the C++ Profile enum)
+    _PROFILES = {"nocontract": 0, "llama4": 1, "cl100k": 2}
+
     def __init__(
         self,
         pair_rows: np.ndarray,
         pair_mask: int,
         byte_rank: np.ndarray,
         *,
-        contractions: bool,
+        contractions: bool = True,
+        profile: str | None = None,
         ranks: dict[bytes, int] | None = None,
     ):
         from ..scanner_ref import _fold_id_table
         from ..unicode_tables import get_tables
 
+        if profile is None:
+            profile = "llama4" if contractions else "nocontract"
+        profile_id = self._PROFILES[profile]
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native library unavailable")
@@ -192,7 +199,7 @@ class NativeEngine:
             self._pair_rows.shape[0],
             pair_mask,
             self._byte_rank.ctypes.data,
-            1 if contractions else 0,
+            profile_id,
         )
         if not self._h:
             raise RuntimeError("td_create failed")
@@ -233,7 +240,7 @@ class NativeEngine:
                 self._py_cap = mod.create(
                     self._classes, self._fold, self._pair_rows,
                     self._pair_rows.shape[0], pair_mask, self._byte_rank,
-                    1 if contractions else 0,
+                    profile_id,
                 )
                 if ranks:
                     mod.set_vocab(

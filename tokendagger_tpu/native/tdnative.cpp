@@ -69,6 +69,10 @@ struct Tables {
   std::vector<int32_t> pair_lut;  // 256*256
 };
 
+// scanner profiles, carried in Tables.contractions (backwards compatible:
+// 0/1 keep their original off/on meaning for the o200k family)
+enum Profile : int { P_NOCONTRACT = 0, P_LLAMA4 = 1, P_CL100K = 2 };
+
 inline uint64_t fnv1a(const uint8_t* p, int64_t n) {
   uint64_t h = 1469598103934665603ull;
   for (int64_t i = 0; i < n; ++i) {
@@ -265,7 +269,7 @@ struct BScan {
 
   // contraction suffix end at e ('s|'t|'re|'ve|'m|'ll|'d, case-folded)
   inline const uint8_t* ct(const uint8_t* e) const {
-    if (!t->contractions || e >= end || *e != '\'') return e;
+    if (t->contractions != P_LLAMA4 || e >= end || *e != '\'') return e;
     const uint8_t* p = e + 1;
     if (p >= end) return e;
     int32_t c1;
@@ -283,8 +287,110 @@ struct BScan {
     return e;
   }
 
+  // cl100k profile match (see scanner_ref._match_lengths_cl100k):
+  //   '(?i:[sdmt]|ll|ve|re) | [^\r\n\p{L}\p{N}]?+\p{L}+ | \p{N}{1,3}
+  //   | ' '?[^\s\p{L}\p{N}]++[\r\n]* | \s*[\r\n] | \s+(?!\S) | \s+
+  const uint8_t* match_end_cl100k(const uint8_t* p) const {
+    int32_t c0;
+    const uint8_t* p1ptr = dec(p, &c0);
+    uint8_t k0 = cls(c0);
+
+    // C1: leading-apostrophe contraction
+    if (c0 == '\'' && p1ptr < end) {
+      int32_t c1v;
+      const uint8_t* p2 = dec(p1ptr, &c1v);
+      int8_t f1 = t->fold[c1v];
+      if (f1 == F_S || f1 == F_D || f1 == F_M || f1 == F_T) return p2;
+      if ((f1 == F_L || f1 == F_V || f1 == F_R) && p2 < end) {
+        int32_t c2v;
+        const uint8_t* p3 = dec(p2, &c2v);
+        int8_t f2 = t->fold[c2v];
+        if ((f1 == F_L && f2 == F_L) || (f1 == F_V && f2 == F_E) ||
+            (f1 == F_R && f2 == F_E))
+          return p3;
+      }
+    }
+
+    // C2: possessive prefix + \p{L}+
+    {
+      const uint8_t* q = nullptr;
+      if (!(k0 & (RN | LETTER | NUM)))
+        q = p1ptr;  // prefix consumed possessively
+      else if (k0 & LETTER)
+        q = p;
+      if (q) {
+        const uint8_t* e = q;
+        while (e < end) {
+          int32_t c;
+          const uint8_t* ne = dec(e, &c);
+          if (!(cls(c) & LETTER)) break;
+          e = ne;
+        }
+        if (e > q) return e;
+        // possessive: a consumed prefix without letters does NOT retry;
+        // fall through to the remaining alternatives
+      }
+    }
+
+    // C3: \p{N}{1,3}
+    if (k0 & NUM) {
+      const uint8_t* q = p1ptr;
+      for (int i = 1; i < 3 && q < end; ++i) {
+        int32_t c;
+        const uint8_t* nq = dec(q, &c);
+        if (!(cls(c) & NUM)) break;
+        q = nq;
+      }
+      return q;
+    }
+
+    // C4: ' '? [^\s\p{L}\p{N}]++ [\r\n]*
+    {
+      const uint8_t* q = nullptr;
+      if (c0 == ' ')
+        q = p1ptr;
+      else if (!(k0 & (WS | LETTER | NUM)))
+        q = p;
+      if (q) {
+        const uint8_t* e = q;
+        while (e < end) {
+          int32_t c;
+          const uint8_t* ne = dec(e, &c);
+          if ((cls(c) & (WS | LETTER | NUM))) break;
+          e = ne;
+        }
+        if (e > q) {
+          while (e < end && (*e == '\r' || *e == '\n')) ++e;
+          return e;
+        }
+      }
+    }
+
+    // C5/C6/C7: whitespace family (same closed forms as the o200k family)
+    if (k0 & WS) {
+      const uint8_t* q = p;
+      const uint8_t* prev_start = p;
+      const uint8_t* last_rn_end = nullptr;
+      while (q < end) {
+        int32_t c;
+        const uint8_t* nq = dec(q, &c);
+        if (!(cls(c) & WS)) break;
+        prev_start = q;
+        if (c == '\r' || c == '\n') last_rn_end = nq;
+        q = nq;
+      }
+      if (last_rn_end) return last_rn_end;
+      if (q == end) return q;
+      if (prev_start > p) return prev_start;
+      return q;
+    }
+
+    return p1ptr;  // safety
+  }
+
   // match end (byte pointer) for the match starting at p (p < end)
   const uint8_t* match_end(const uint8_t* p) const {
+    if (t->contractions == P_CL100K) return match_end_cl100k(p);
     int32_t c0;
     const uint8_t* p1ptr = dec(p, &c0);
     uint8_t k0 = cls(c0);

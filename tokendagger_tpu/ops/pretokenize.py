@@ -53,9 +53,15 @@ def match_lengths_jax(
     classes: jnp.ndarray,   # (0x110000,) uint8 class bitmask (device)
     fold_id: jnp.ndarray,   # (0x110000,) int8 contraction fold ids (device)
     *,
-    contractions: bool,
+    contractions: bool = True,
+    profile: str | None = None,
 ) -> jnp.ndarray:
     """Per-char match length, (N,) int32; >= 1 at valid positions."""
+    if profile is None:
+        profile = "llama4" if contractions else "nocontract"
+    if profile == "cl100k":
+        return _match_lengths_cl100k_jax(cp, m, classes, fold_id)
+    contractions = profile != "nocontract"
     N = cp.shape[0]
     idx = jnp.arange(N, dtype=jnp.int32)
     valid = idx < m
@@ -180,6 +186,86 @@ def match_lengths_jax(
     return jnp.maximum(lens, 1).astype(jnp.int32)
 
 
+def _match_lengths_cl100k_jax(
+    cp: jnp.ndarray, m: jnp.ndarray, classes: jnp.ndarray, fold_id: jnp.ndarray
+) -> jnp.ndarray:
+    """cl100k profile (see scanner_ref._match_lengths_cl100k)."""
+    N = cp.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    valid = idx < m
+
+    cls = classes[cp].astype(jnp.int32)
+    ws = ((cls & WS) != 0) & valid
+    rn = ((cls & RN) != 0) & valid
+    let = ((cls & LETTER) != 0) & valid
+    num = ((cls & NUM) != 0) & valid
+    p1 = ~((cls & (RN | LETTER | NUM)) != 0) & valid
+    pu = ~((cls & (WS | LETTER | NUM)) != 0) & valid
+    sp = (cp == ord(" ")) & valid
+
+    ws_run = _runlen(ws, idx, N)
+    let_run = _runlen(let, idx, N)
+    num_run = _runlen(num, idx, N)
+    pu_run = _runlen(pu, idx, N)
+    rn_run = _runlen(rn, idx, N)
+    prevrn = _prevpos(rn, idx)
+
+    last = jnp.int32(N - 1)
+
+    def g(a, j):
+        return a[jnp.clip(j, 0, last)]
+
+    apo = (cp == ord("'")) & valid
+    f1 = jnp.concatenate([fold_id[cp[1:]], jnp.full((1,), -1, jnp.int8)])
+    f1 = jnp.where(idx + 1 < m, f1, -1)
+    f2 = jnp.concatenate([fold_id[cp[2:]], jnp.full((2,), -1, jnp.int8)])
+    f2 = jnp.where(idx + 2 < m, f2, -1)
+
+    one = (f1 == _S) | (f1 == _D) | (f1 == _M) | (f1 == _T)
+    two = ((f1 == _L) & (f2 == _L)) | ((f1 == _V) & (f2 == _E)) | (
+        (f1 == _R) & (f2 == _E)
+    )
+    c1 = jnp.where(apo & one, 2, jnp.where(apo & two, 3, 0))
+
+    j1 = idx + 1
+    let_pre = g(let_run, j1)
+    c2 = jnp.where(
+        p1,
+        jnp.where(let_pre > 0, 1 + let_pre, 0),  # possessive prefix
+        jnp.where(let, let_run, 0),
+    )
+
+    c3 = jnp.minimum(num_run, 3)
+
+    pu_pre = g(pu_run, j1)
+    c4 = jnp.where(
+        sp & (pu_pre > 0),
+        1 + pu_pre + g(rn_run, idx + 1 + pu_pre),
+        jnp.where(pu_run > 0, pu_run + g(rn_run, idx + pu_run), 0),
+    )
+
+    e_ws = idx + ws_run
+    m_rn = g(prevrn, e_ws - 1)
+    c5 = jnp.where(ws & (m_rn >= idx), m_rn + 1 - idx, 0)
+
+    at_eos = e_ws == m
+    c6 = jnp.where(
+        (ws_run > 0) & at_eos, ws_run, jnp.where(ws_run >= 2, ws_run - 1, 0)
+    )
+
+    c7 = ws_run
+
+    lens = jnp.where(
+        c1 > 0, c1,
+        jnp.where(c2 > 0, c2,
+                  jnp.where(c3 > 0, c3,
+                            jnp.where(c4 > 0, c4,
+                                      jnp.where(c5 > 0, c5,
+                                                jnp.where(c6 > 0, c6, c7))))),
+    )
+    return jnp.maximum(lens, 1).astype(jnp.int32)
+
+
 def utf8_decode(data: jnp.ndarray, nbytes: jnp.ndarray):
     """Decode UTF-8 bytes to a compacted codepoint array.
 
@@ -266,7 +352,7 @@ def compact_pieces(starts, byte_of_char, nbytes):
 # compile in ~1 s each and the extra dispatches are negligible vs the work.
 _utf8_decode_j = jax.jit(utf8_decode)
 _match_lengths_j = jax.jit(
-    match_lengths_jax, static_argnames=("contractions",)
+    match_lengths_jax, static_argnames=("contractions", "profile")
 )
 _chain_starts_j = jax.jit(chain_starts)
 
@@ -278,12 +364,15 @@ def scan_bytes(
     fold_id: jnp.ndarray,   # (0x110000,) int8
     *,
     contractions: bool = True,
+    profile: str | None = None,
 ):
     """Full pretokenizer scan (staged jits, async dispatch). Returns
     (piece_start (N,) int32 byte offsets compacted & padded with nbytes,
      piece_len (N,) int32 byte lengths (0-padded),
      n_pieces scalar int32)."""
     cp, _, byte_of_char, m = _utf8_decode_j(data, nbytes)
-    lens = _match_lengths_j(cp, m, classes, fold_id, contractions=contractions)
+    lens = _match_lengths_j(
+        cp, m, classes, fold_id, contractions=contractions, profile=profile
+    )
     starts = _chain_starts_j(lens, m)
     return compact_pieces(starts, byte_of_char, nbytes)

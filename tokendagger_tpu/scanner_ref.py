@@ -71,11 +71,20 @@ def _runlen(mask: np.ndarray) -> np.ndarray:
     return (nf - idx).astype(np.int32)
 
 
-def match_lengths(cp: np.ndarray, *, contractions: bool = True) -> np.ndarray:
-    """Per-position match length (in chars) for the pattern family.
+def match_lengths(
+    cp: np.ndarray, *, contractions: bool = True, profile: str | None = None
+) -> np.ndarray:
+    """Per-position match length (in chars) for the supported pattern
+    profiles: "llama4" (o200k family with contraction alternates),
+    "nocontract" (Tekken), "cl100k" (GPT-4 family).
 
     cp: (n,) int32/int64 codepoints. Returns (n,) int32, all >= 1.
     """
+    if profile is None:
+        profile = "llama4" if contractions else "nocontract"
+    if profile == "cl100k":
+        return _match_lengths_cl100k(cp)
+    contractions = profile != "nocontract"
     classes, _ = get_tables()
     n = len(cp)
     if n == 0:
@@ -216,10 +225,112 @@ def match_lengths(cp: np.ndarray, *, contractions: bool = True) -> np.ndarray:
     return lens
 
 
-def split_spans(text: str, *, contractions: bool = True) -> list[tuple[int, int]]:
+def _match_lengths_cl100k(cp: np.ndarray) -> np.ndarray:
+    r"""cl100k_base (GPT-4) pattern:
+        '(?i:[sdmt]|ll|ve|re)
+        |[^\r\n\p{L}\p{N}]?+\p{L}+      (POSSESSIVE prefix: no backtrack)
+        |\p{N}{1,3}
+        |\x20?[^\s\p{L}\p{N}]++[\r\n]*
+        |\s*[\r\n]
+        |\s+(?!\S)
+        |\s+
+    Differences from the o200k family: leading-apostrophe contraction as
+    the FIRST alternative; a single \p{L}+ word class (no case split, no
+    marks); a possessive optional prefix (if the prefix char matches but
+    no letter follows, the whole alternative fails); no '/' in the punct
+    tail; \s*[\r\n] single newline (same closed form as \s*[\r\n]+: both
+    end after the last newline of the leading whitespace run).
+    """
+    classes, _ = get_tables()
+    n = len(cp)
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+
+    cls = classes[cp]
+    ws = (cls & WS) != 0
+    rn = (cls & RN) != 0
+    let = (cls & LETTER) != 0
+    num = (cls & NUM) != 0
+    p1 = ~(rn | let | num)
+    pu = ~(ws | let | num)
+    sp = cp == ord(" ")
+
+    PAD = 4
+    z32 = lambda a: np.concatenate([a.astype(np.int32), np.zeros(PAD, np.int32)])
+    ws_run = z32(_runlen(ws))
+    let_run = z32(_runlen(let))
+    num_run = z32(_runlen(num))
+    pu_run = z32(_runlen(pu))
+    rn_run = z32(_runlen(rn))
+
+    idx = np.arange(n, dtype=np.int32)
+    prevrn = np.concatenate(
+        [np.maximum.accumulate(np.where(rn, idx, -1)).astype(np.int32),
+         np.full(PAD, -1, np.int32)]
+    )
+
+    fold = _fold_id_table()
+    cpp = np.concatenate([cp.astype(np.int64), np.zeros(PAD, np.int64)])
+    f1 = np.concatenate([fold[cpp[1:]], np.full(1, -1, np.int8)])
+    f2 = np.concatenate([fold[cpp[2:]], np.full(2, -1, np.int8)])
+    apo = cp == ord("'")
+
+    # C1: '(?i:[sdmt]|ll|ve|re)
+    one = (f1[:n] == _S) | (f1[:n] == _D) | (f1[:n] == _M) | (f1[:n] == _T)
+    two = ((f1[:n] == _L) & (f2[:n] == _L)) | ((f1[:n] == _V) & (f2[:n] == _E)) | (
+        (f1[:n] == _R) & (f2[:n] == _E)
+    )
+    c1 = np.where(apo & one, 2, np.where(apo & two, 3, 0))
+
+    # C2: possessive prefix + \p{L}+
+    j1 = np.minimum(idx + 1, n)
+    let_pre = let_run[j1]
+    c2 = np.where(
+        p1,
+        np.where(let_pre > 0, 1 + let_pre, 0),  # possessive: no retry
+        np.where(let, let_run[:n], 0),
+    )
+
+    c3 = np.minimum(num_run[:n], 3)
+
+    # C4: ' '? punct++ [\r\n]*
+    pu_pre = pu_run[j1]
+    c4 = np.where(
+        sp & (pu_pre > 0),
+        1 + pu_pre + rn_run[np.minimum(idx + 1 + pu_pre, n)],
+        np.where(
+            pu_run[:n] > 0,
+            pu_run[:n] + rn_run[np.minimum(idx + pu_run[:n], n)],
+            0,
+        ),
+    )
+
+    # C5: \s*[\r\n] — ends after the last newline of the whitespace run
+    e_ws = idx + ws_run[:n]
+    m_rn = prevrn[np.maximum(e_ws - 1, 0)]
+    c5 = np.where(ws & (m_rn >= idx), m_rn + 1 - idx, 0)
+
+    # C6: \s+(?!\S)
+    Lw = ws_run[:n]
+    at_eos = (idx + Lw) == n
+    c6 = np.where((Lw > 0) & at_eos, Lw, np.where(Lw >= 2, Lw - 1, 0))
+
+    c7 = Lw
+
+    lens = np.select(
+        [c1 > 0, c2 > 0, c3 > 0, c4 > 0, c5 > 0, c6 > 0],
+        [c1, c2, c3, c4, c5, c6],
+        default=c7,
+    ).astype(np.int32)
+    return np.maximum(lens, 1)
+
+
+def split_spans(
+    text: str, *, contractions: bool = True, profile: str | None = None
+) -> list[tuple[int, int]]:
     """Pretoken (start, end) char spans — finditer equivalent."""
     cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
-    lens = match_lengths(cp, contractions=contractions)
+    lens = match_lengths(cp, contractions=contractions, profile=profile)
     spans: list[tuple[int, int]] = []
     i = 0
     n = len(cp)

@@ -55,19 +55,34 @@ TEKKEN_PATTERN = (
     r"|\s+"
 )
 
+# The cl100k_base (GPT-4) pattern — possessive quantifiers and a leading
+# contraction alternative (tiktoken's cl100k_base pat_str).
+CL100K_PATTERN = (
+    r"'(?i:[sdmt]|ll|ve|re)"
+    r"|[^\r\n\p{L}\p{N}]?+\p{L}+"
+    r"|\p{N}{1,3}"
+    r"| ?[^\s\p{L}\p{N}]++[\r\n]*"
+    r"|\s*[\r\n]"
+    r"|\s+(?!\S)"
+    r"|\s+"
+)
+
 _CONTRACTION_GROUP = r"(?i:'s|'t|'re|'ve|'m|'ll|'d)?"
 
 
 def classify_pattern(pattern: str) -> str | None:
-    """Recognize patterns the device scanner supports.
+    """Recognize patterns the accelerated scanners support.
 
-    Returns "llama4" (family with contraction alternates), "nocontract"
-    (same family without them, e.g. Tekken), or None (device pretokenizer
-    unsupported — engine falls back to the host regex split)."""
+    Returns "llama4" (o200k family with contraction alternates),
+    "nocontract" (same family without them, e.g. Tekken), "cl100k"
+    (GPT-4 family), or None (unsupported — engines fall back to the host
+    regex split, still exact)."""
     if pattern == LLAMA4_PATTERN:
         return "llama4"
     if pattern == TEKKEN_PATTERN:
         return "nocontract"
+    if pattern == CL100K_PATTERN:
+        return "cl100k"
     # normalize: removing the contraction group from a llama4-family
     # pattern must yield the no-contraction canon
     if pattern.replace(_CONTRACTION_GROUP, "") == TEKKEN_PATTERN:

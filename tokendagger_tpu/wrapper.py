@@ -133,7 +133,7 @@ class Tokenizer:
                         tables.pair.rows,
                         tables.pair.mask,
                         tables.byte_rank,
-                        contractions=(kind != "nocontract"),
+                        profile=kind,
                         ranks=self._mergeable_ranks,
                     )
             except Exception:  # noqa: BLE001 - any failure => pure-Python path
