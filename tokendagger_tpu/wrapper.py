@@ -175,9 +175,15 @@ class Tokenizer:
             return False
         if nbytes < self._DEVICE_MIN_BYTES:
             return False
+        # auto mode: the native C++ host engine outperforms the device
+        # pipeline for the Python-facing APIs (ids must come back to the
+        # host anyway); route to the device only when no native engine is
+        # available. Pass backend="tpu" to keep data on the accelerator.
+        if self._get_native() is not None:
+            return False
         if self._device is None:
-            # In auto mode, probe the device engine once; if it can't come
-            # up (no accelerator, unsupported pattern, ...) stick to host.
+            # probe the device engine once; if it can't come up (no
+            # accelerator, unsupported pattern, ...) stick to host.
             try:
                 self._get_device()
             except Exception:  # noqa: BLE001
@@ -336,6 +342,15 @@ class Tokenizer:
             np.asarray(self._host_encode(t, allowed), dtype=np.int64)
             for t in text
         ]
+
+    def encode_ordinary_batch(
+        self, text: Sequence[str], *, num_threads: int = 8
+    ) -> list[list[int]]:
+        """tiktoken-compatible batch encode ignoring special tokens."""
+        return self.encode_batch(
+            text, num_threads=num_threads,
+            allowed_special=set(), disallowed_special=(),
+        )
 
     def decode_batch(
         self,
