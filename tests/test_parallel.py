@@ -76,3 +76,29 @@ class TestShardedMerge:
         assert len(jax.devices()) >= 8, (
             "conftest must provide 8 virtual CPU devices"
         )
+
+    def test_2d_mesh_step(self, problem):
+        from tokendagger_tpu.parallel.mesh import (
+            get_mesh_2d, sharded_encode_step_2d,
+        )
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ranks, tables, buf, lens, words = problem
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        mesh = get_mesh_2d(2, 4)  # 2 "hosts" x 4 "chips"
+        step = sharded_encode_step_2d(mesh)
+        sh = NamedSharding(mesh, P(("hosts", "chips"), None))
+        shl = NamedSharding(mesh, P(("hosts", "chips")))
+        bb = jax.device_put(jnp.asarray(buf), sh)
+        ln = jax.device_put(jnp.asarray(lens), shl)
+        tok, counts, total_bytes, total_tokens = step(
+            bb, ln, jnp.asarray(tables.byte_rank),
+            jnp.asarray(tables.pair.rows), mask=tables.pair.mask,
+        )
+        want = _expected(ranks, words, buf.shape[0])
+        assert int(total_bytes) == int(lens.sum())
+        assert int(total_tokens) == sum(len(w) for w in want)
+        tok_np = np.asarray(tok)
+        for r in range(buf.shape[0]):
+            assert tok_np[r][tok_np[r] >= 0].tolist() == want[r]

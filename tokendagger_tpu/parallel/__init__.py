@@ -12,4 +12,10 @@ equivalent designed here is SPMD data parallelism over a `jax.sharding.Mesh`:
 * aggregate statistics (bytes, tokens) are reduced with ``psum`` over ICI.
 """
 
-from .mesh import get_mesh, shard_merge_rows, sharded_encode_step  # noqa: F401
+from .mesh import (  # noqa: F401
+    get_mesh,
+    get_mesh_2d,
+    shard_merge_rows,
+    sharded_encode_step,
+    sharded_encode_step_2d,
+)

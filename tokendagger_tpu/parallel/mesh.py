@@ -25,6 +25,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.merge import merge_rows_local
 
 DATA_AXIS = "data"
+HOST_AXIS = "hosts"
+CHIP_AXIS = "chips"
 
 
 def get_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -34,6 +36,70 @@ def get_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def get_mesh_2d(
+    n_hosts: int, chips_per_host: int, devices=None
+) -> Mesh:
+    """(hosts, chips) mesh for multi-host pod slices.
+
+    The tokenization workload is pure data parallelism, but the 2-D mesh
+    makes the network topology explicit: reductions over ``chips`` ride
+    ICI within a host's slice, reductions over ``hosts`` cross DCN. The
+    sharded step reduces counters over chips first, then hosts, so the
+    DCN leg carries one scalar per host.
+    """
+    if devices is None:
+        devices = jax.devices()
+    need = n_hosts * chips_per_host
+    assert len(devices) >= need, (len(devices), need)
+    arr = np.asarray(devices[:need]).reshape(n_hosts, chips_per_host)
+    return Mesh(arr, (HOST_AXIS, CHIP_AXIS))
+
+
+def sharded_encode_step_2d(mesh: Mesh):
+    """Data-parallel tokenization step over a (hosts, chips) mesh.
+
+    Rows shard over both axes (flattened DP); byte/token counters reduce
+    hierarchically: psum over ICI (chips) then DCN (hosts).
+    """
+
+    @partial(jax.jit, static_argnames=("mask",))
+    def step(byte_buf, lengths, byte_rank, pair_rows, mask: int):
+        def local(bb, ln, br, pr_rows):
+            tok, counts = merge_rows_local(bb, ln, br, pr_rows, mask=mask)
+            local_bytes = jnp.sum(ln, dtype=jnp.int32)
+            local_tokens = jnp.sum(counts, dtype=jnp.int32)
+            # ICI reduction first, then DCN: the cross-host leg moves one
+            # scalar per host instead of per chip
+            b_ici = jax.lax.psum(local_bytes, CHIP_AXIS)
+            t_ici = jax.lax.psum(local_tokens, CHIP_AXIS)
+            return (
+                tok,
+                counts,
+                jax.lax.psum(b_ici, HOST_AXIS),
+                jax.lax.psum(t_ici, HOST_AXIS),
+            )
+
+        shard = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P((HOST_AXIS, CHIP_AXIS), None),
+                P((HOST_AXIS, CHIP_AXIS)),
+                P(None),
+                P(None, None),
+            ),
+            out_specs=(
+                P((HOST_AXIS, CHIP_AXIS), None),
+                P((HOST_AXIS, CHIP_AXIS)),
+                P(),
+                P(),
+            ),
+        )
+        return shard(byte_buf, lengths, byte_rank, pair_rows)
+
+    return step
 
 
 def shard_merge_rows(mesh: Mesh):
