@@ -36,21 +36,35 @@ WORDS = (
 
 def generate_corpus(size_mb: float, seed: int = 42) -> str:
     """Synthetic English-like text (reference corpus style: random common
-    words, sentences, paragraphs — throughput_test.py:246-333)."""
-    rng = random.Random(seed)
+    words, sentences, paragraphs — throughput_test.py:246-333).
+    Vectorized with numpy so GB-scale corpora generate in seconds."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
     target = int(size_mb * 1024 * 1024)
-    parts: list[str] = []
-    size = 0
-    while size < target:
-        n = rng.randint(5, 18)
-        words = [rng.choice(WORDS) for _ in range(n)]
-        words[0] = words[0].capitalize()
-        s = " ".join(words) + rng.choice([". ", ". ", "! ", "? "])
-        if rng.random() < 0.1:
+    avg_word = sum(len(w) + 1 for w in WORDS) / len(WORDS)
+    n_words = int(target / avg_word * 1.1) + 100
+    words = np.array(WORDS)
+    picks = words[rng.integers(0, len(words), n_words)]
+    # sentence boundaries every 5-18 words: mark with punctuation+capital
+    out = []
+    i = 0
+    py_rng = random.Random(seed)
+    while i < len(picks):
+        n = py_rng.randint(5, 18)
+        chunk = picks[i : i + n]
+        if not len(chunk):
+            break
+        s = " ".join(chunk.tolist())
+        s = s[0].upper() + s[1:] + py_rng.choice([". ", ". ", "! ", "? "])
+        if py_rng.random() < 0.1:
             s += "\n\n"
-        parts.append(s)
-        size += len(s)
-    return "".join(parts)[:target]
+        out.append(s)
+        i += n
+    text = "".join(out)
+    while len(text) < target:
+        text += text[: target - len(text)]
+    return text[:target]
 
 
 def chunk_corpus(corpus: str, n_chunks: int) -> list[str]:

@@ -197,6 +197,7 @@ class DeviceEngine:
             self._fold_id,
             contractions=self._contractions,
             profile=self._profile,
+            use_pallas=self._use_pallas,
         )
         k = int(n_pieces)
         if k == 0:

@@ -266,33 +266,50 @@ def _match_lengths_cl100k_jax(
     return jnp.maximum(lens, 1).astype(jnp.int32)
 
 
-def utf8_decode(data: jnp.ndarray, nbytes: jnp.ndarray):
+def utf8_decode(data: jnp.ndarray, nbytes: jnp.ndarray, *, use_pallas: bool = False):
     """Decode UTF-8 bytes to a compacted codepoint array.
 
     data (N,) uint8 (0-padded), nbytes scalar. Returns
     (cp (N,) int32 0-padded, char_of_byte (N,) int32, byte_of_char (N,) int32
     padded with nbytes, n_chars scalar int32).
+
+    With ``use_pallas`` the per-byte classify/assemble stage runs as the
+    blockwise Pallas kernel (ops/pallas_scan.py); the cross-block cumsum
+    and compaction scatter stay in XLA either way.
     """
     N = data.shape[0]
     idx = jnp.arange(N, dtype=jnp.int32)
-    b = data.astype(jnp.int32)
     valid = idx < nbytes
 
-    is_cont = (b & 0xC0) == 0x80
-    is_start = ~is_cont & valid
+    if use_pallas:
+        from .pallas_scan import BLOCK, utf8_decode_block
 
-    b1 = jnp.concatenate([b[1:], jnp.zeros((1,), jnp.int32)])
-    b2 = jnp.concatenate([b[2:], jnp.zeros((2,), jnp.int32)])
-    b3 = jnp.concatenate([b[3:], jnp.zeros((3,), jnp.int32)])
+        if N % BLOCK == 0:
+            cp_at, lead = utf8_decode_block(data)
+            is_start = (lead != 0) & valid
+        else:
+            use_pallas = False
+    if not use_pallas:
+        b = data.astype(jnp.int32)
+        is_cont = (b & 0xC0) == 0x80
+        is_start = ~is_cont & valid
 
-    cp1 = b
-    cp2 = ((b & 0x1F) << 6) | (b1 & 0x3F)
-    cp3 = ((b & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F)
-    cp4 = ((b & 0x07) << 18) | ((b1 & 0x3F) << 12) | ((b2 & 0x3F) << 6) | (b3 & 0x3F)
-    cp_at = jnp.where(
-        b < 0x80, cp1, jnp.where(b < 0xE0, cp2, jnp.where(b < 0xF0, cp3, cp4))
-    )
-    cp_at = jnp.clip(cp_at, 0, 0x10FFFF)
+        b1 = jnp.concatenate([b[1:], jnp.zeros((1,), jnp.int32)])
+        b2 = jnp.concatenate([b[2:], jnp.zeros((2,), jnp.int32)])
+        b3 = jnp.concatenate([b[3:], jnp.zeros((3,), jnp.int32)])
+
+        cp1 = b
+        cp2 = ((b & 0x1F) << 6) | (b1 & 0x3F)
+        cp3 = ((b & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F)
+        cp4 = (
+            ((b & 0x07) << 18) | ((b1 & 0x3F) << 12) | ((b2 & 0x3F) << 6)
+            | (b3 & 0x3F)
+        )
+        cp_at = jnp.where(
+            b < 0x80, cp1,
+            jnp.where(b < 0xE0, cp2, jnp.where(b < 0xF0, cp3, cp4)),
+        )
+        cp_at = jnp.clip(cp_at, 0, 0x10FFFF)
 
     char_of_byte = jnp.cumsum(is_start.astype(jnp.int32)) - 1
     n_chars = jnp.where(nbytes > 0, jnp.maximum(char_of_byte[-1] + 1, 0), 0)
@@ -350,7 +367,7 @@ def compact_pieces(starts, byte_of_char, nbytes):
 # Stage-level jits: compiling the whole scan as one XLA module triggers a
 # pathologically slow CPU-backend compile (minutes); the stages individually
 # compile in ~1 s each and the extra dispatches are negligible vs the work.
-_utf8_decode_j = jax.jit(utf8_decode)
+_utf8_decode_j = jax.jit(utf8_decode, static_argnames=("use_pallas",))
 _match_lengths_j = jax.jit(
     match_lengths_jax, static_argnames=("contractions", "profile")
 )
@@ -365,12 +382,15 @@ def scan_bytes(
     *,
     contractions: bool = True,
     profile: str | None = None,
+    use_pallas: bool = False,
 ):
     """Full pretokenizer scan (staged jits, async dispatch). Returns
     (piece_start (N,) int32 byte offsets compacted & padded with nbytes,
      piece_len (N,) int32 byte lengths (0-padded),
      n_pieces scalar int32)."""
-    cp, _, byte_of_char, m = _utf8_decode_j(data, nbytes)
+    cp, _, byte_of_char, m = _utf8_decode_j(
+        data, nbytes, use_pallas=use_pallas
+    )
     lens = _match_lengths_j(
         cp, m, classes, fold_id, contractions=contractions, profile=profile
     )
