@@ -116,6 +116,25 @@ def main() -> None:
         "baseline_mbps": BASELINE_MBPS,
         "baseline_hw": "EPYC 4584PX 1 thread (reference)",
     }
+
+    # exact-match gate vs tiktoken (the BASELINE "exact-match %" metric):
+    # a throughput number only counts if the ids are bit-identical.
+    try:
+        import tiktoken
+
+        tok_c, _ = load_tokenizer("host")
+        tk = tiktoken.Encoding(
+            "bench-oracle",
+            pat_str=tok_c.pattern,
+            mergeable_ranks=tok_c._mergeable_ranks,
+            special_tokens=tok_c._special_tokens,
+        )
+        sample = corpus[: 1 << 20]
+        detail["exact_match_vs_tiktoken"] = (
+            tok_c.encode_ordinary(sample) == tk.encode_ordinary(sample)
+        )
+    except Exception as e:  # noqa: BLE001 - oracle unavailable
+        detail["exact_match_vs_tiktoken"] = f"unavailable: {e}"[:80]
     if args.backend == "best":
         # measure the threaded native host path and the TPU stream path,
         # report the better one (list-output mode, apples-to-apples with the

@@ -67,6 +67,30 @@ def generate_corpus(size_mb: float, seed: int = 42) -> str:
     return text[:target]
 
 
+def generate_code_corpus(size_mb: float) -> str:
+    """Code-heavy corpus (BASELINE config 4): the repo's own source files
+    tiled to size, interleaved with deep-indentation and long-run stress
+    blocks (the long-pretoken path)."""
+    repo = Path(__file__).resolve().parent.parent
+    parts = []
+    for p in sorted(repo.rglob("*")):
+        if p.suffix in {".py", ".cpp", ".md", ".toml", ".json"} and p.is_file():
+            if any(d in p.parts for d in (".git", "__pycache__", "output")):
+                continue
+            try:
+                parts.append(p.read_text(errors="replace"))
+            except OSError:
+                pass
+    stress = (
+        "\n" + " " * 64 + "deep_indent = [1, 2, 3]\n"
+        + "#" * 120 + "\n" + "=" * 80 + "\n" + "x" * 300 + "\n"
+    )
+    base = ("\n".join(parts) + stress) or "x = 1\n"
+    target = int(size_mb * 1024 * 1024)
+    reps = target // len(base) + 1
+    return (base * reps)[:target]
+
+
 def chunk_corpus(corpus: str, n_chunks: int) -> list[str]:
     step = max(1, len(corpus) // n_chunks)
     return [corpus[i : i + step] for i in range(0, len(corpus), step)]
@@ -141,6 +165,8 @@ def main() -> int:
     ap.add_argument("--threads", default="1,2,4,8,16,32")
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "host", "tpu"])
+    ap.add_argument("--corpus", default="english",
+                    choices=["english", "code"])
     ap.add_argument("--skip-tiktoken", action="store_true")
     ap.add_argument("--skip-hf", action="store_true")
     ap.add_argument("--output", default=None, help="JSON output path")
@@ -156,8 +182,11 @@ def main() -> int:
     )
     pattern = td.LLAMA4_PATTERN
 
-    print(f"Generating {args.text_size} MB corpus...")
-    corpus = generate_corpus(args.text_size)
+    print(f"Generating {args.text_size} MB {args.corpus} corpus...")
+    if args.corpus == "code":
+        corpus = generate_code_corpus(args.text_size)
+    else:
+        corpus = generate_corpus(args.text_size)
 
     print("Benchmarking tokendagger_tpu:")
     ours = bench_ours(corpus, thread_counts, args.iterations, pattern, ranks,

@@ -8,6 +8,14 @@ GIL-released pybind11 calls (/root/reference/src/py_binding.cpp:26-44).
 
 If no C++ toolchain is available the package falls back to the pure-Python
 host engine transparently (`get_native() -> None`).
+
+Thread-safety contract: all engine tables (class bitmask, fold ids, pair
+rows, byte ranks, vocab hash) are written once during construction and
+read-only afterwards; scan/encode entry points allocate no shared state.
+The only mutable native state is the per-thread piece-memo cache
+(`thread_local` in tdnative.cpp), so concurrent encode calls from a
+ThreadPoolExecutor need no locking — the design the reference achieves
+with read-only emhash8 maps plus thread_local PCRE2 match data.
 """
 
 from __future__ import annotations

@@ -122,6 +122,11 @@ PyObject* py_encode_list(PyObject*, PyObject* args) {
     PyList_SET_ITEM(list, i, v);
   }
   PyMem_Free(out);
+  // Untrack from the cyclic GC: the list holds only ints, so it can never
+  // participate in a reference cycle. Without this, full collections
+  // traverse every token of every result list — at corpus scale (tens of
+  // millions of ids alive) GC dominates the runtime (measured 7x).
+  PyObject_GC_UnTrack(list);
   return list;
 }
 
