@@ -47,6 +47,15 @@ class TestSmoke:
         with pytest.raises(ValueError, match="bos"):
             tok.encode("x <|bos|> y", disallowed_special="all")
 
+    def test_disallowed_is_default(self, tok):
+        # tiktoken parity: encode() raises on special-looking text unless
+        # explicitly allowed or disallowed_special is relaxed
+        with pytest.raises(ValueError, match="bos"):
+            tok.encode("x <|bos|> y")
+        assert tok.encode("x <|bos|> y", disallowed_special=())
+        with pytest.raises(ValueError, match="bos"):
+            tok.encode_batch(["x <|bos|> y"])
+
     def test_unknown_allowed_raises(self, tok):
         with pytest.raises((TokenDaggerError, KeyError)):
             tok.encode("x", allowed_special={"<|nope|>"})

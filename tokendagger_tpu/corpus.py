@@ -73,13 +73,18 @@ class CorpusProcessor:
         return {"size": st.st_size, "mtime": int(st.st_mtime)}
 
     def _shard_path(self, src: Path) -> Path:
-        # flatten the source path into a unique shard name
-        safe = str(src).strip("/").replace("/", "__")
-        return self._out / f"{safe}.npy"
+        # unique, collision-free shard name: readable stem + path digest
+        import hashlib
+
+        digest = hashlib.sha1(str(src).encode()).hexdigest()[:10]
+        return self._out / f"{src.stem}_{digest}.npy"
 
     # ------------------------------------------------------------------
-    def _encode_file(self, src: Path) -> tuple[Path, int, int, float]:
+    def _encode_file(self, src: Path) -> tuple[Path, int, int, float, dict]:
         t0 = time.perf_counter()
+        # fingerprint BEFORE reading: a file modified mid-encode must look
+        # stale on resume, not silently pass as done
+        fp = self._fingerprint(src)
         text = src.read_text(encoding="utf-8", errors="replace")
         ids = self._tok.encode_batch_np(
             [text],
@@ -88,10 +93,13 @@ class CorpusProcessor:
             disallowed_special=(),
         )[0].astype(self._dtype)
         shard = self._shard_path(src)
-        tmp = shard.with_suffix(".tmp.npy")
+        tmp = shard.with_suffix(f".tmp{os.getpid()}.npy")
         np.save(tmp, ids)
         os.replace(tmp, shard)
-        return shard, len(text.encode("utf-8")), len(ids), time.perf_counter() - t0
+        return (
+            shard, len(text.encode("utf-8")), len(ids),
+            time.perf_counter() - t0, fp,
+        )
 
     def process(
         self, files: Sequence[str | Path], *, resume: bool = True
@@ -102,7 +110,7 @@ class CorpusProcessor:
         manifest = self._load_manifest() if resume else {"version": 1, "files": {}}
         todo: list[Path] = []
         for f in files:
-            src = Path(f)
+            src = Path(f).resolve()  # one canonical key per real file
             key = str(src)
             entry = manifest["files"].get(key)
             if (
@@ -117,14 +125,14 @@ class CorpusProcessor:
 
         with ThreadPoolExecutor(self._threads) as ex:
             for src, result in zip(todo, ex.map(self._encode_file, todo)):
-                shard, nbytes, ntok, secs = result
+                shard, nbytes, ntok, secs, fp = result
                 self.meter.add(nbytes, ntok, secs)
                 manifest["files"][str(src)] = {
                     "status": "done",
                     "shard": str(shard),
                     "bytes": nbytes,
                     "tokens": ntok,
-                    "fingerprint": self._fingerprint(src),
+                    "fingerprint": fp,
                 }
                 self._save_manifest(manifest)
         return manifest

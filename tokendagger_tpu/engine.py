@@ -43,8 +43,11 @@ BUCKET_WIDTHS = (16, 64, 256)
 # XLA compile time (CPU-backend compile scales with shape and is flaky at
 # huge shapes), maximize jit-cache reuse across arbitrary input sizes, and
 # let long segments stream through the same compiled programs.
-SCAN_SIZES = (1 << 12, 1 << 16, 1 << 20)
+SCAN_SIZES = (1 << 12, 1 << 16, 1 << 20, 1 << 22, 1 << 24)
 MERGE_ROWS = 1 << 13
+# windows grow up to this size when a single class run spans the current
+# window (no safe cut); only beyond it does the host fallback engage
+MAX_WINDOW = SCAN_SIZES[-1]
 
 # Lookahead slack past a run boundary that a match decision can inspect
 # (contraction suffix <= 3 chars + the (?!\S) peek; chars <= 4 bytes).
@@ -66,15 +69,9 @@ def _enable_persistent_compile_cache(jax_mod) -> None:
         return
     _CACHE_ENABLED = True
     try:
-        import os
-        from pathlib import Path
+        from .utils.cachedir import cache_dir
 
-        d = Path(
-            os.environ.get(
-                "TOKENDAGGER_TPU_CACHE", Path.home() / ".cache" / "tokendagger_tpu"
-            )
-        ) / "xla_cache"
-        d.mkdir(parents=True, exist_ok=True)
+        d = cache_dir("xla_cache")
         jax_mod.config.update("jax_compilation_cache_dir", str(d))
         jax_mod.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:  # noqa: BLE001 - cache is best-effort
@@ -106,8 +103,12 @@ class DeviceEngine:
         self._pair_mask = int(self.tables.pair.mask)
         self._pair_lut = jnp.asarray(self.tables.pair_lut)
         self._missing_bytes = bool((self.tables.byte_rank < 0).any())
-        # the Pallas MXU first-round kernel runs compiled on TPU only
-        self._use_pallas = jax.default_backend() == "tpu"
+        # the Pallas MXU first-round kernel runs compiled on TPU only, and
+        # its f32 accumulation is exact only for ids < 2^24
+        self._use_pallas = (
+            jax.default_backend() == "tpu"
+            and self.tables.n_vocab < (1 << 24)
+        )
 
         kind = classify_pattern(pattern)
         if stream is None:
@@ -300,7 +301,12 @@ class DeviceEngine:
             dev, starts, lens, consumed = self._scan_window(window, is_final)
             if consumed == 0:
                 # no safe cut inside the window: a single class run spans
-                # it. Exact host fallback for the run's full extent.
+                # it. Grow the window (fixed shapes up to MAX_WINDOW)...
+                if win < MAX_WINDOW and win < n - base:
+                    win = min(win * 4, MAX_WINDOW)
+                    continue
+                # ...and only truly pathological runs (> MAX_WINDOW) take
+                # the exact host fallback for the remainder.
                 ids = self.host.encode_ordinary(
                     data[base:].decode("utf-8", errors="strict")
                 )
@@ -309,6 +315,7 @@ class DeviceEngine:
                 break
             out.append(self._merge_pieces(window, dev, starts, lens))
             base += consumed
+            win = self._window
         if not out:
             return np.zeros(0, dtype=np.int64)
         return np.concatenate(out)

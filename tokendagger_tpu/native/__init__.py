@@ -39,13 +39,9 @@ _PYMOD_FAILED = False
 
 
 def _cache_dir() -> Path:
-    d = Path(
-        os.environ.get(
-            "TOKENDAGGER_TPU_CACHE", Path.home() / ".cache" / "tokendagger_tpu"
-        )
-    )
-    d.mkdir(parents=True, exist_ok=True)
-    return d
+    from ..utils.cachedir import cache_dir
+
+    return cache_dir()
 
 
 def _build() -> Path | None:
@@ -54,7 +50,8 @@ def _build() -> Path | None:
     out = _cache_dir() / f"tdnative_{tag}.so"
     if out.exists():
         return out
-    tmp = out.with_suffix(".tmp.so")
+    # pid-unique tmp: concurrent first-use builds must not interleave
+    tmp = out.with_suffix(f".tmp{os.getpid()}.so")
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
         "-fopenmp", str(_SRC), "-o", str(tmp),
@@ -83,7 +80,7 @@ def _build_pymod() -> Path | None:
     if out.exists():
         return out
     inc = sysconfig.get_paths()["include"]
-    tmp = out.with_suffix(".tmp.so")
+    tmp = out.with_suffix(f".tmp{os.getpid()}.so")
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
         f"-I{inc}", str(_SRC), str(_PYSRC), "-o", str(tmp),
@@ -219,6 +216,9 @@ class NativeEngine:
             keys = list(ranks.keys())
             if any(len(k) > 255 for k in keys):
                 raise RuntimeError("vocab has tokens > 255 bytes")
+            if sum(len(k) for k in keys) > (1 << 24):
+                # the packed slot layout addresses 24-bit blob offsets
+                raise RuntimeError("vocab blob exceeds 16 MB")
             blob = b"".join(keys)
             self._vocab_blob = np.frombuffer(blob, dtype=np.uint8)
             lens = np.fromiter((len(k) for k in keys), dtype=np.int32, count=len(keys))

@@ -21,6 +21,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC tdnative.cpp -o tdnative.so
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -58,6 +59,9 @@ struct Tables {
   uint32_t mask;
   const int32_t* byte_rank;  // 256
   int contractions;
+  // unique engine id: memo-cache ownership must not be keyed by pointer
+  // identity (a freed engine's address can be reused; see g_memo)
+  uint64_t gen = 0;
   // whole-piece vocab hash (optional; reference fast path
   // /root/reference/src/tiktoken/tiktoken.cpp:210-215)
   std::vector<VocabSlot> vocab;
@@ -118,7 +122,7 @@ struct MemoEntry {
 };
 
 struct MemoCache {
-  const void* owner = nullptr;
+  uint64_t owner = 0;  // Tables::gen of the engine this cache belongs to
   std::vector<MemoEntry> slots;
   std::vector<uint8_t> key_arena;
   std::vector<int32_t> id_arena;
@@ -126,7 +130,7 @@ struct MemoCache {
   static constexpr size_t N_SLOTS = 1 << 16;
   static constexpr size_t MAX_ARENA = 4u << 20;
 
-  void reset(const void* own) {
+  void reset(uint64_t own) {
     owner = own;
     slots.assign(N_SLOTS, MemoEntry{});
     key_arena.clear();
@@ -484,6 +488,7 @@ extern "C" {
 void* td_create(const uint8_t* classes, const int8_t* fold,
                 const int32_t* pair_rows, int64_t nbuckets, int32_t mask,
                 const int32_t* byte_rank, int contractions) {
+  static std::atomic<uint64_t> next_gen{1};
   Tables* t = new Tables();
   t->classes = classes;
   t->fold = fold;
@@ -492,6 +497,7 @@ void* td_create(const uint8_t* classes, const int8_t* fold,
   t->mask = (uint32_t)mask;
   t->byte_rank = byte_rank;
   t->contractions = contractions;
+  t->gen = next_gen.fetch_add(1);
   return t;
 }
 
@@ -499,10 +505,16 @@ void td_destroy(void* h) { delete (Tables*)h; }
 
 // Install the whole-piece vocab hash: keys_blob holds all token byte
 // strings concatenated; offs/lens/ranks are parallel arrays of length n.
-// The blob pointer is borrowed — caller keeps it alive.
+// The blob pointer is borrowed — caller keeps it alive. The packed slot
+// layout addresses 24-bit blob offsets; vocabs whose concatenated bytes
+// exceed 16 MB cannot be installed (the engine then reports -2 from
+// encode and callers fall back to the exact Python path).
 void td_set_vocab(void* h, const uint8_t* keys_blob, const int64_t* offs,
                   const int32_t* lens, const int32_t* ranks, int64_t n) {
   Tables* t = (Tables*)h;
+  if (n > 0 && (uint64_t)(offs[n - 1] + lens[n - 1]) > (1u << 24)) {
+    return;  // blob too large for the 24-bit offset packing
+  }
   uint64_t cap = 1;
   while (cap < (uint64_t)(n * 2)) cap <<= 1;
   t->vocab.assign(cap, VocabSlot{0, 0, 0});
@@ -739,7 +751,7 @@ int64_t td_encode(const void* h, const uint8_t* data, int64_t n, int32_t* out,
       continue;
     }
     // memoized merge result for repeated vocab-missing pieces
-    if (g_memo.owner != t) g_memo.reset(t);
+    if (g_memo.owner != t->gen) g_memo.reset(t->gen);
     if (const MemoEntry* me = g_memo.find(h, data + b0, plen)) {
       if (count + me->n_ids > cap) return -1;
       std::memcpy(out + count, g_memo.id_arena.data() + me->ids_off,

@@ -67,13 +67,15 @@ PyObject* py_set_vocab(PyObject*, PyObject* args) {
                         &ranks, &n))
     return nullptr;
   void* h = PyCapsule_GetPointer(cap, "tdpy.engine");
-  if (!h) return nullptr;
-  td_set_vocab(h, (const uint8_t*)blob.buf, (const int64_t*)offs.buf,
-               (const int32_t*)lens.buf, (const int32_t*)ranks.buf, n);
+  if (h) {
+    td_set_vocab(h, (const uint8_t*)blob.buf, (const int64_t*)offs.buf,
+                 (const int32_t*)lens.buf, (const int32_t*)ranks.buf, n);
+  }
   PyBuffer_Release(&blob);
   PyBuffer_Release(&offs);
   PyBuffer_Release(&lens);
   PyBuffer_Release(&ranks);
+  if (!h) return nullptr;  // PyCapsule_GetPointer set the error
   Py_RETURN_NONE;
 }
 

@@ -34,8 +34,10 @@ import jax.numpy as jnp
 import numpy as np
 
 MAX_RANK = np.int32(0x7FFFFFFF)
-# f32-exact sentinel (> any real rank, < 2^24) standing in for MAX_RANK
-_SENTINEL = np.float32(1 << 23)
+# f32-exact sentinel standing in for MAX_RANK. Every valid rank must be
+# < 2^24 (f32 integer-exactness bound); the engine gates the Pallas path
+# on n_vocab accordingly.
+_SENTINEL = np.float32(1 << 24)
 
 BLOCK_ROWS = 256
 

@@ -144,9 +144,9 @@ def _vocab_digest(ranks: dict[bytes, int], special_tokens: dict[str, int]) -> st
 
 
 def _cache_dir() -> Path:
-    d = Path(os.environ.get("TOKENDAGGER_TPU_CACHE", Path.home() / ".cache" / "tokendagger_tpu"))
-    d.mkdir(parents=True, exist_ok=True)
-    return d
+    from .utils.cachedir import cache_dir
+
+    return cache_dir()
 
 
 def build_tables(

@@ -45,12 +45,9 @@ _TABLE_VERSION = 3  # bump when bit layout / derivation changes
 
 
 def _cache_path() -> Path:
-    d = Path(
-        os.environ.get(
-            "TOKENDAGGER_TPU_CACHE", Path.home() / ".cache" / "tokendagger_tpu"
-        )
-    )
-    d.mkdir(parents=True, exist_ok=True)
+    from .utils.cachedir import cache_dir
+
+    d = cache_dir()
     uv = sys.implementation.name  # invalidate across unicode-data changes
     import unicodedata
 

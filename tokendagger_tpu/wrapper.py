@@ -210,7 +210,7 @@ class Tokenizer:
         text: str,
         *,
         allowed_special: Literal["all"] | AbstractSet[str] = set(),
-        disallowed_special: Literal["all"] | Collection[str] = set(),
+        disallowed_special: Literal["all"] | Collection[str] = "all",
     ) -> list[int]:
         allowed, disallowed = self._resolve_special(allowed_special, disallowed_special)
         self._check_disallowed(text, disallowed)
@@ -237,7 +237,7 @@ class Tokenizer:
         *,
         num_threads: int = 8,
         allowed_special: Literal["all"] | AbstractSet[str] = set(),
-        disallowed_special: Literal["all"] | Collection[str] = set(),
+        disallowed_special: Literal["all"] | Collection[str] = "all",
     ) -> list[list[int]]:
         """Batch encode. On the TPU backend the whole batch is tokenized in
         one fused device pipeline (the analogue of the reference's
@@ -322,7 +322,7 @@ class Tokenizer:
         *,
         num_threads: int = 8,
         allowed_special: Literal["all"] | AbstractSet[str] = set(),
-        disallowed_special: Literal["all"] | Collection[str] = set(),
+        disallowed_special: Literal["all"] | Collection[str] = "all",
     ) -> list[np.ndarray]:
         """Batch encode returning numpy int arrays (framework-native API;
         avoids the Python-list materialization cost of ``encode_batch``)."""
