@@ -77,6 +77,17 @@ class TestSmoke:
         with pytest.raises(TokenDaggerError):
             tok.decode_bytes([10**7])
 
+    def test_single_token_utilities(self, tok, tiny_vocab):
+        ranks, specials = tiny_vocab
+        assert tok.decode_single_token_bytes(ranks[b"hello"]) == b"hello"
+        assert tok.encode_single_token(b"hello") == ranks[b"hello"]
+        assert tok.encode_single_token("<|bos|>") == specials["<|bos|>"]
+        with pytest.raises(KeyError):
+            tok.encode_single_token(b"not-a-token-xyz")
+        with pytest.raises(KeyError):
+            tok.decode_single_token_bytes(10**7)
+        assert b"hello" in tok.token_byte_values()
+
     def test_decode_errors_replace(self, tok):
         # token 200 is a lone continuation byte -> U+FFFD under "replace"
         s = tok.decode([200], errors="replace")

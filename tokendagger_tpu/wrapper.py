@@ -417,6 +417,38 @@ class Tokenizer:
     def special_tokens(self) -> list[str]:
         return list(self._special_tokens.keys())
 
+    # -- tiktoken single-token utilities --------------------------------
+    def decode_single_token_bytes(self, token: int) -> bytes:
+        """tiktoken-compatible: the bytes of one token id (raises on
+        unknown ids)."""
+        try:
+            return self._host.decode_bytes([token])
+        except KeyError as e:
+            raise KeyError(token) from e
+
+    def encode_single_token(self, text_or_bytes: str | bytes) -> int:
+        """tiktoken-compatible: the id of an exact token (ordinary or
+        special); raises KeyError if the input is not a single token."""
+        if isinstance(text_or_bytes, str):
+            r = self._special_tokens.get(text_or_bytes)
+            if r is not None:
+                return r
+            text_or_bytes = text_or_bytes.encode("utf-8")
+        r = self._mergeable_ranks.get(text_or_bytes)
+        if r is None:
+            raise KeyError(text_or_bytes)
+        return r
+
+    def token_byte_values(self) -> list[bytes]:
+        """tiktoken-compatible: all ordinary token byte strings."""
+        return list(self._mergeable_ranks.keys())
+
+    @property
+    def eot_token(self) -> int:
+        """tiktoken-compatible end-of-text id (strictly '<|endoftext|>',
+        raising KeyError otherwise — exactly as tiktoken does)."""
+        return self._special_tokens["<|endoftext|>"]
+
     @property
     def special_tokens_set(self) -> set[str]:
         return set(self._special_tokens.keys())
