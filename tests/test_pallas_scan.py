@@ -40,12 +40,11 @@ def test_scan_bytes_pallas_parity(tiny_vocab):
     import jax
 
     from tokendagger_tpu.ops.pretokenize import scan_bytes
-    from tokendagger_tpu.scanner_ref import _fold_id_table
-    from tokendagger_tpu.unicode_tables import get_tables
+    from tokendagger_tpu.unicode_tables import get_two_level_tables
 
-    classes, _ = get_tables()
-    cl = jnp.asarray(classes)
-    fo = jnp.asarray(_fold_id_table())
+    page_ids, pages = get_two_level_tables()
+    cl = jnp.asarray(page_ids)
+    fo = jnp.asarray(pages)
     text = ("hello world, it's the STORE 123 !!\n  " * 300).encode()
     N = ((len(text) + BLOCK - 1) // BLOCK) * BLOCK
     buf = np.zeros(N, np.uint8)

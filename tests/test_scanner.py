@@ -34,10 +34,9 @@ def _device_spans(text: str, contractions: bool = True) -> list[tuple[int, int]]
     import jax.numpy as jnp
 
     from tokendagger_tpu.ops.pretokenize import scan_bytes
-    from tokendagger_tpu.scanner_ref import _fold_id_table
-    from tokendagger_tpu.unicode_tables import get_tables
+    from tokendagger_tpu.unicode_tables import get_two_level_tables
 
-    classes, _ = get_tables()
+    page_ids, pages = get_two_level_tables()
     data = text.encode("utf-8")
     n = len(data)
     N = max(64, 1 << (n - 1).bit_length()) if n else 64
@@ -46,8 +45,8 @@ def _device_spans(text: str, contractions: bool = True) -> list[tuple[int, int]]
     start_b, piece_len, n_pieces = scan_bytes(
         jnp.asarray(buf),
         jnp.int32(n),
-        jnp.asarray(classes),
-        jnp.asarray(_fold_id_table()),
+        jnp.asarray(page_ids),
+        jnp.asarray(pages),
         contractions=contractions,
     )
     k = int(n_pieces)

@@ -123,13 +123,12 @@ class DeviceEngine:
         self._contractions = kind != "nocontract"
         self._profile = kind or "llama4"
         if self.stream:
-            from .scanner_ref import _fold_id_table
-            from .unicode_tables import get_tables
+            from .unicode_tables import get_two_level_tables
 
             _enable_persistent_compile_cache(jax)
-            classes, _ = get_tables()
-            self._classes = jnp.asarray(classes)
-            self._fold_id = jnp.asarray(_fold_id_table())
+            page_ids, pages = get_two_level_tables()
+            self._page_ids = jnp.asarray(page_ids)
+            self._pages = jnp.asarray(pages)
             # the CPU backend's compile time scales with shape; keep its
             # scan windows small (the CPU device path exists for tests)
             self._window = (
@@ -194,8 +193,8 @@ class DeviceEngine:
         start_b, piece_len, n_pieces = scan_bytes(
             dev,
             jnp.int32(n),
-            self._classes,
-            self._fold_id,
+            self._page_ids,
+            self._pages,
             contractions=self._contractions,
             profile=self._profile,
             use_pallas=self._use_pallas,

@@ -47,11 +47,37 @@ def _prevpos(mask: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.cummax(jnp.where(mask, idx, -1), axis=0)
 
 
+def _cls_lookup(cp: jnp.ndarray, page_ids: jnp.ndarray, pages: jnp.ndarray):
+    """Class bitmask via the page-compressed two-level table (~39 KB of
+    gather target instead of 1.1 MB; see unicode_tables.get_two_level_tables)."""
+    return pages[page_ids[cp >> 8].astype(jnp.int32), cp & 0xFF].astype(jnp.int32)
+
+
+_FOLD_CPS: dict[int, "np.ndarray"] | None = None
+
+
+def _fold_is(cp: jnp.ndarray, letter_id: int) -> jnp.ndarray:
+    """cp case-folds to the given contraction letter. The fold sets are a
+    couple dozen codepoints total, so elementwise compares against embedded
+    constants beat any table gather."""
+    global _FOLD_CPS
+    if _FOLD_CPS is None:
+        from ..scanner_ref import _FOLD_ORDER
+        from ..unicode_tables import get_tables
+
+        _, folds = get_tables()
+        _FOLD_CPS = {i: folds[L] for i, L in enumerate(_FOLD_ORDER)}
+    hits = jnp.zeros(cp.shape, jnp.bool_)
+    for c in _FOLD_CPS[letter_id].tolist():
+        hits = hits | (cp == c)
+    return hits
+
+
 def match_lengths_jax(
     cp: jnp.ndarray,        # (N,) int32 codepoints (0-padded beyond m)
     m: jnp.ndarray,         # scalar int32: number of valid chars
-    classes: jnp.ndarray,   # (0x110000,) uint8 class bitmask (device)
-    fold_id: jnp.ndarray,   # (0x110000,) int8 contraction fold ids (device)
+    page_ids: jnp.ndarray,  # (0x1100,) page table (two-level class lookup)
+    pages: jnp.ndarray,     # (n_pages, 256) uint8 class pages
     *,
     contractions: bool = True,
     profile: str | None = None,
@@ -60,13 +86,13 @@ def match_lengths_jax(
     if profile is None:
         profile = "llama4" if contractions else "nocontract"
     if profile == "cl100k":
-        return _match_lengths_cl100k_jax(cp, m, classes, fold_id)
+        return _match_lengths_cl100k_jax(cp, m, page_ids, pages)
     contractions = profile != "nocontract"
     N = cp.shape[0]
     idx = jnp.arange(N, dtype=jnp.int32)
     valid = idx < m
 
-    cls = classes[cp].astype(jnp.int32)
+    cls = _cls_lookup(cp, page_ids, pages)
     ws = ((cls & WS) != 0) & valid
     rn = ((cls & RN) != 0) & valid
     let = (cls & LETTER) != 0
@@ -110,13 +136,18 @@ def match_lengths_jax(
     # --- contraction suffix ----------------------------------------------
     if contractions:
         apo = (cp == ord("'")) & valid
-        f1 = jnp.concatenate([fold_id[cp[1:]], jnp.full((1,), -1, jnp.int8)])
-        f1 = jnp.where(idx + 1 < m, f1, -1)
-        f2 = jnp.concatenate([fold_id[cp[2:]], jnp.full((2,), -1, jnp.int8)])
-        f2 = jnp.where(idx + 2 < m, f2, -1)
-        one = (f1 == _S) | (f1 == _T) | (f1 == _M) | (f1 == _D)
-        two = ((f1 == _R) & (f2 == _E)) | ((f1 == _V) & (f2 == _E)) | (
-            (f1 == _L) & (f2 == _L)
+        cp1 = jnp.concatenate([cp[1:], jnp.zeros((1,), cp.dtype)])
+        cp1 = jnp.where(idx + 1 < m, cp1, 0)
+        cp2 = jnp.concatenate([cp[2:], jnp.zeros((2,), cp.dtype)])
+        cp2 = jnp.where(idx + 2 < m, cp2, 0)
+        one = (
+            _fold_is(cp1, _S) | _fold_is(cp1, _T) | _fold_is(cp1, _M)
+            | _fold_is(cp1, _D)
+        )
+        two = (
+            (_fold_is(cp1, _R) & _fold_is(cp2, _E))
+            | (_fold_is(cp1, _V) & _fold_is(cp2, _E))
+            | (_fold_is(cp1, _L) & _fold_is(cp2, _L))
         )
         ct_full = jnp.where(apo & one, 2, jnp.where(apo & two, 3, 0))
 
@@ -187,14 +218,14 @@ def match_lengths_jax(
 
 
 def _match_lengths_cl100k_jax(
-    cp: jnp.ndarray, m: jnp.ndarray, classes: jnp.ndarray, fold_id: jnp.ndarray
+    cp: jnp.ndarray, m: jnp.ndarray, page_ids: jnp.ndarray, pages: jnp.ndarray
 ) -> jnp.ndarray:
     """cl100k profile (see scanner_ref._match_lengths_cl100k)."""
     N = cp.shape[0]
     idx = jnp.arange(N, dtype=jnp.int32)
     valid = idx < m
 
-    cls = classes[cp].astype(jnp.int32)
+    cls = _cls_lookup(cp, page_ids, pages)
     ws = ((cls & WS) != 0) & valid
     rn = ((cls & RN) != 0) & valid
     let = ((cls & LETTER) != 0) & valid
@@ -216,14 +247,19 @@ def _match_lengths_cl100k_jax(
         return a[jnp.clip(j, 0, last)]
 
     apo = (cp == ord("'")) & valid
-    f1 = jnp.concatenate([fold_id[cp[1:]], jnp.full((1,), -1, jnp.int8)])
-    f1 = jnp.where(idx + 1 < m, f1, -1)
-    f2 = jnp.concatenate([fold_id[cp[2:]], jnp.full((2,), -1, jnp.int8)])
-    f2 = jnp.where(idx + 2 < m, f2, -1)
+    cp1 = jnp.concatenate([cp[1:], jnp.zeros((1,), cp.dtype)])
+    cp1 = jnp.where(idx + 1 < m, cp1, 0)
+    cp2 = jnp.concatenate([cp[2:], jnp.zeros((2,), cp.dtype)])
+    cp2 = jnp.where(idx + 2 < m, cp2, 0)
 
-    one = (f1 == _S) | (f1 == _D) | (f1 == _M) | (f1 == _T)
-    two = ((f1 == _L) & (f2 == _L)) | ((f1 == _V) & (f2 == _E)) | (
-        (f1 == _R) & (f2 == _E)
+    one = (
+        _fold_is(cp1, _S) | _fold_is(cp1, _D) | _fold_is(cp1, _M)
+        | _fold_is(cp1, _T)
+    )
+    two = (
+        (_fold_is(cp1, _L) & _fold_is(cp2, _L))
+        | (_fold_is(cp1, _V) & _fold_is(cp2, _E))
+        | (_fold_is(cp1, _R) & _fold_is(cp2, _E))
     )
     c1 = jnp.where(apo & one, 2, jnp.where(apo & two, 3, 0))
 
@@ -377,8 +413,8 @@ _chain_starts_j = jax.jit(chain_starts)
 def scan_bytes(
     data: jnp.ndarray,      # (N,) uint8, 0-padded
     nbytes: jnp.ndarray,    # scalar int32
-    classes: jnp.ndarray,   # (0x110000,) uint8
-    fold_id: jnp.ndarray,   # (0x110000,) int8
+    page_ids: jnp.ndarray,  # (0x1100,) two-level class page table
+    pages: jnp.ndarray,     # (n_pages, 256) uint8 class pages
     *,
     contractions: bool = True,
     profile: str | None = None,
@@ -392,7 +428,7 @@ def scan_bytes(
         data, nbytes, use_pallas=use_pallas
     )
     lens = _match_lengths_j(
-        cp, m, classes, fold_id, contractions=contractions, profile=profile
+        cp, m, page_ids, pages, contractions=contractions, profile=profile
     )
     starts = _chain_starts_j(lens, m)
     return compact_pieces(starts, byte_of_char, nbytes)

@@ -93,6 +93,27 @@ def _build() -> tuple[np.ndarray, dict[str, np.ndarray]]:
 
 
 _CACHED: tuple[np.ndarray, dict[str, np.ndarray]] | None = None
+_CACHED_2L: tuple[np.ndarray, np.ndarray] | None = None
+
+
+def get_two_level_tables() -> tuple[np.ndarray, np.ndarray]:
+    """Page-compressed class table for device gathers.
+
+    Returns (page_ids (0x1100,) uint8/uint16, pages (n_pages, 256) uint8)
+    with classes[cp] == pages[page_ids[cp >> 8], cp & 0xFF]. Unicode class
+    data is massively repetitive across 256-codepoint pages (~tens of
+    distinct pages), so both tables together are a few KB — cache/VMEM
+    resident instead of a 1.1 MB random-gather target.
+    """
+    global _CACHED_2L
+    if _CACHED_2L is not None:
+        return _CACHED_2L
+    classes, _ = get_tables()
+    paged = classes.reshape(-1, 256)
+    pages, inverse = np.unique(paged, axis=0, return_inverse=True)
+    dtype = np.uint8 if len(pages) < 256 else np.uint16
+    _CACHED_2L = (inverse.astype(dtype), pages.astype(np.uint8))
+    return _CACHED_2L
 
 
 def get_tables() -> tuple[np.ndarray, dict[str, np.ndarray]]:
