@@ -148,6 +148,14 @@ class TestConformance:
         assert ours.max_token_value == oracle.max_token_value
         assert set(ours.special_tokens_set) == set(oracle.special_tokens_set)
 
+    def test_decode_extras(self, pair):
+        ours, oracle = pair
+        for text in ["hello world, it's 123", "日本語のテキスト 🙂 ok"]:
+            ids = oracle.encode_ordinary(text)
+            assert ours.decode_tokens_bytes(ids) == oracle.decode_tokens_bytes(ids)
+            assert ours.decode_with_offsets(ids) == oracle.decode_with_offsets(ids)
+            assert ours.decode_batch([ids]) == [text]
+
 
 # ---------------------------------------------------------------------------
 # CLI interface (reference-style)

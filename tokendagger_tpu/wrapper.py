@@ -417,6 +417,24 @@ class Tokenizer:
     def special_tokens(self) -> list[str]:
         return list(self._special_tokens.keys())
 
+    def decode_tokens_bytes(self, tokens: Sequence[int]) -> list[bytes]:
+        """tiktoken-compatible: per-token byte strings."""
+        return [self.decode_single_token_bytes(t) for t in tokens]
+
+    def decode_with_offsets(
+        self, tokens: Sequence[int]
+    ) -> tuple[str, list[int]]:
+        """tiktoken-compatible: decoded text plus the starting character
+        offset of each token (UTF-8 continuation-aware, matching
+        tiktoken's convention)."""
+        token_bytes = self.decode_tokens_bytes(tokens)
+        text_len, offsets = 0, []
+        for tb in token_bytes:
+            offsets.append(max(0, text_len - (0x80 <= tb[0] < 0xC0)))
+            text_len += sum(1 for b in tb if not 0x80 <= b < 0xC0)
+        text = b"".join(token_bytes).decode("utf-8", errors="strict")
+        return text, offsets
+
     # -- tiktoken single-token utilities --------------------------------
     def decode_single_token_bytes(self, token: int) -> bytes:
         """tiktoken-compatible: the bytes of one token id (raises on
