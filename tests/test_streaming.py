@@ -84,3 +84,11 @@ class TestStreaming:
             "hello world, this is a sentence. more text here. ",
             disallowed_special=(),
         )
+
+
+def test_unsupported_pattern_refused(tiny_vocab):
+    ranks, specials = tiny_vocab
+    weird = Tokenizer("w", pattern=r"\w+|\s+|.", mergeable_ranks=ranks,
+                      special_tokens=specials, backend="host")
+    with pytest.raises(ValueError, match="supported pattern profile"):
+        StreamingEncoder(weird)

@@ -21,7 +21,10 @@ import numpy as np
 
 from .unicode_tables import LC, LETTER, NUM, UC, WS, get_tables
 
-# lookahead slack in chars (contraction <= 3 chars + the (?!\S) peek)
+# lookahead slack in chars (contraction <= 3 chars + the (?!\S) peek).
+# NOTE: engine.DeviceEngine._safe_cut_threshold implements the same
+# analysis in BYTE units (CUT_SLACK = 16 bytes = 4 chars x 4 bytes); a
+# change to either must land in both.
 _SLACK_CHARS = 4
 
 
@@ -60,6 +63,18 @@ class StreamingEncoder:
         *,
         allowed_special: Literal["all"] | AbstractSet[str] = set(),
     ):
+        from .vocab import classify_pattern
+
+        # The safe-cut analysis is only valid for the supported pattern
+        # profiles (matches bounded by class runs + <=4 chars lookahead).
+        # Arbitrary patterns could match across runs, so streaming them
+        # would silently diverge from Tokenizer.encode — refuse instead.
+        if classify_pattern(tokenizer.pattern) is None:
+            raise ValueError(
+                "StreamingEncoder requires a supported pattern profile "
+                "(Llama-4/o200k, Tekken, or cl100k); use Tokenizer.encode "
+                "for arbitrary patterns"
+            )
         self._tok = tokenizer
         if allowed_special == "all":
             allowed_special = set(tokenizer.special_tokens_set)

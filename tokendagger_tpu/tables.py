@@ -124,7 +124,6 @@ class DeviceTables:
     decode_lengths: np.ndarray   # (n_ids,) int32, -1 for unknown id
     decode_blob: np.ndarray      # (total_bytes,) uint8
     n_vocab: int
-    monotonic_merges: bool       # every merged token outranks its children
     # True iff byte_pair_merge(token_bytes) == [rank] for every vocab token.
     # When it holds, a merge-only encode is bit-identical to tiktoken's
     # whole-piece-lookup-then-merge; when it doesn't, merge-only paths must
@@ -156,8 +155,8 @@ def build_tables(
     use_cache: bool = True,
 ) -> DeviceTables:
     special_tokens = special_tokens or {}
-    # v3: + pair_lut (bump on schema changes; digest covers vocab)
-    cache_path = _cache_dir() / f"tables_v3_{_vocab_digest(ranks, special_tokens)}.npz"
+    # v4: dropped the unused monotonic field (bump on schema changes)
+    cache_path = _cache_dir() / f"tables_v4_{_vocab_digest(ranks, special_tokens)}.npz"
     if use_cache and cache_path.exists():
         z = np.load(cache_path)
         return DeviceTables(
@@ -168,7 +167,6 @@ def build_tables(
             decode_lengths=z["decode_lengths"],
             decode_blob=z["decode_blob"],
             n_vocab=int(z["n_vocab"]),
-            monotonic_merges=bool(z["monotonic"]),
             all_reachable=bool(z["all_reachable"]),
         )
 
@@ -176,7 +174,6 @@ def build_tables(
     pa: list[int] = []
     pb: list[int] = []
     pv: list[int] = []
-    monotonic = True
     for tb, rank in ranks.items():
         if len(tb) < 2:
             continue
@@ -187,8 +184,6 @@ def build_tables(
                 pa.append(ra)
                 pb.append(rb)
                 pv.append(rank)
-                if rank <= max(ra, rb):
-                    monotonic = False
     pair = PairTable.build(
         np.asarray(pa, dtype=np.int32),
         np.asarray(pb, dtype=np.int32),
@@ -247,11 +242,10 @@ def build_tables(
         decode_lengths=decode_lengths,
         decode_blob=decode_blob,
         n_vocab=n_ids,
-        monotonic_merges=monotonic,
         all_reachable=all_reachable,
     )
     if use_cache:
-        tmp = cache_path.with_suffix(".tmp.npz")
+        tmp = cache_path.with_suffix(f".tmp{os.getpid()}.npz")
         np.savez_compressed(
             tmp,
             pair_rows=pair.rows,
@@ -263,7 +257,6 @@ def build_tables(
             decode_lengths=decode_lengths,
             decode_blob=decode_blob,
             n_vocab=n_ids,
-            monotonic=monotonic,
             all_reachable=all_reachable,
         )
         os.replace(tmp, cache_path)

@@ -48,10 +48,18 @@ def _cache_path() -> Path:
     from .utils.cachedir import cache_dir
 
     d = cache_dir()
-    uv = sys.implementation.name  # invalidate across unicode-data changes
+    # the table is built by querying the `regex` module, so its version
+    # must be part of the key (regex vendors its own Unicode data)
     import unicodedata
 
-    return d / f"uniclass_v{_TABLE_VERSION}_{uv}_{unicodedata.unidata_version}.npz"
+    import regex
+
+    rv = getattr(regex, "__version__", "0")
+    uv = sys.implementation.name
+    return d / (
+        f"uniclass_v{_TABLE_VERSION}_{uv}_"
+        f"{unicodedata.unidata_version}_re{rv}.npz"
+    )
 
 
 def _build() -> tuple[np.ndarray, dict[str, np.ndarray]]:
@@ -128,7 +136,7 @@ def get_tables() -> tuple[np.ndarray, dict[str, np.ndarray]]:
         folds = {L: z[f"fold_{L}"] for L in _CONTRACTION_LETTERS}
     else:
         classes, folds = _build()
-        tmp = path.with_suffix(".tmp.npz")
+        tmp = path.with_suffix(f".tmp{os.getpid()}.npz")
         np.savez_compressed(
             tmp,
             classes=classes,

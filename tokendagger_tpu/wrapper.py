@@ -98,7 +98,7 @@ class Tokenizer:
         # frozenset identity marks the common "disallow all specials" case
         # so the bigram prefilter groups are computed once
         self._all_specials_frozen = frozenset(self._special_tokens)
-        self._disallowed_all_groups: dict[str, list[str]] = {}
+        self._disallowed_all_groups: dict[str, list[str]] | None = None
 
     # ------------------------------------------------------------------
     # Backend routing
@@ -166,6 +166,13 @@ class Tokenizer:
                 out.extend(self._host_encode_ordinary(seg))
         return out
 
+    @staticmethod
+    def _nbytes(text: str) -> int:
+        """UTF-8 byte length (the unit _DEVICE_MIN_BYTES is tuned in);
+        str.isascii() keeps the common case O(n) over bytes without an
+        encode pass."""
+        return len(text) if text.isascii() else len(text.encode("utf-8"))
+
     def _use_device(self, nbytes: int) -> bool:
         if self.backend == "host":
             return False
@@ -199,7 +206,7 @@ class Tokenizer:
     # ------------------------------------------------------------------
     def encode_ordinary(self, text: str) -> list[int]:
         try:
-            if self._use_device(len(text)):
+            if self._use_device(self._nbytes(text)):
                 return self._get_device().encode_ordinary_batch([text])[0]
             return self._host_encode_ordinary(text)
         except Exception as e:  # noqa: BLE001
@@ -215,7 +222,7 @@ class Tokenizer:
         allowed, disallowed = self._resolve_special(allowed_special, disallowed_special)
         self._check_disallowed(text, disallowed)
         try:
-            if self._use_device(len(text)):
+            if self._use_device(self._nbytes(text)):
                 return self._get_device().encode_batch([text], allowed)[0]
             return self._host_encode(text, allowed)
         except ValueError:
@@ -246,7 +253,7 @@ class Tokenizer:
         allowed, disallowed = self._resolve_special(allowed_special, disallowed_special)
         for t in text:
             self._check_disallowed(t, disallowed)
-        total = sum(len(t) for t in text)
+        total = sum(self._nbytes(t) for t in text)
         if self._use_device(total):
             return self._get_device().encode_batch(list(text), allowed)
         native = self._get_native()
@@ -329,7 +336,7 @@ class Tokenizer:
         allowed, disallowed = self._resolve_special(allowed_special, disallowed_special)
         for t in text:
             self._check_disallowed(t, disallowed)
-        total = sum(len(t) for t in text)
+        total = sum(self._nbytes(t) for t in text)
         if self._use_device(total):
             return [
                 np.asarray(ids, dtype=np.int64)
@@ -501,12 +508,14 @@ class Tokenizer:
         if not disallowed:
             return
         if disallowed is self._all_specials_frozen:
-            if not self._disallowed_all_groups:
-                for token in disallowed:
-                    self._disallowed_all_groups.setdefault(
-                        token[:2], []
-                    ).append(token)
             groups = self._disallowed_all_groups
+            if groups is None:
+                # build fully, then publish with one atomic assignment so
+                # concurrent encodes never see a partially built dict
+                fresh: dict[str, list[str]] = {}
+                for token in disallowed:
+                    fresh.setdefault(token[:2], []).append(token)
+                self._disallowed_all_groups = groups = fresh
         else:
             groups = {}
             for token in disallowed:
