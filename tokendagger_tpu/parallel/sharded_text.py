@@ -177,6 +177,11 @@ class ShardedTextEncoder:
 
     def __init__(self, device_engine, mesh: Mesh, *, shard_bytes: int = 1 << 14,
                  halo: int = 1 << 12):
+        if not device_engine.stream:
+            raise ValueError(
+                "ShardedTextEncoder requires a stream-capable DeviceEngine "
+                "(supported pattern profile + merge-reachable vocab)"
+            )
         self.eng = device_engine
         self.mesh = mesh
         self.D = mesh.devices.size
