@@ -66,6 +66,7 @@ def _kernel(buf_ref, len_ref, byte_rank_ref, lut_ref, tok_ref, pr_ref):
             oh0, br,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )[:, 0]
         tok_cols.append(tok_c)
         if c + 1 < C:
@@ -74,6 +75,10 @@ def _kernel(buf_ref, len_ref, byte_rank_ref, lut_ref, tok_ref, pr_ref):
                 oh0, lut,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                # exactness over speed: without HIGHEST the MXU may run
+                # f32 dots in bf16 passes, rounding integer values > 256
+                # (observed on v5e: tok (<=255) exact, pair ranks wrong)
+                precision=jax.lax.Precision.HIGHEST,
             )
             oh1 = (ids == b1[:, None]).astype(jnp.float32)
             pr_c = jnp.sum(rows * oh1, axis=1)

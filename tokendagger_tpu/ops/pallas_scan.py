@@ -24,19 +24,33 @@ BLOCK = BLOCK_ROWS * LANES
 
 
 def _shift1(b: jnp.ndarray, next_first: jnp.ndarray) -> jnp.ndarray:
-    """Flat +1 shift of a (R, 128) row-major tile; next_first is the (1, 1)
-    element that follows the tile (from the next row block / halo)."""
-    right_col = jnp.concatenate([b[1:, :1], next_first], axis=0)
-    return jnp.concatenate([b[:, 1:], right_col], axis=1)
+    """Flat +1 shift of a (R, 128) row-major tile; next_first is the scalar
+    element that follows the tile (from the next row block / halo).
+
+    Implemented with circular rolls + masked patches — Mosaic lowers these
+    natively, unlike concatenates of misaligned narrow slices."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    R, L = b.shape
+    # pltpu.roll needs non-negative shifts: roll by size-1 == roll by -1
+    shifted_cols = pltpu.roll(b, L - 1, 1)  # col c <- c+1 (col L-1 garbage)
+    next_rows = pltpu.roll(b, R - 1, 0)     # row r <- r+1 (last row garbage)
+    carry = next_rows[:, 0:1]             # (R, 1): b[r+1, 0]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    carry = jnp.where(row_ids == R - 1, next_first, carry)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    return jnp.where(col_ids < L - 1, shifted_cols, carry)
 
 
 def _kernel(b_ref, halo_ref, cp_ref, start_ref):
     b = b_ref[...].astype(jnp.int32)        # (R, 128)
-    halo = halo_ref[...].astype(jnp.int32)  # (1, 128): the next row
+    # halo block is 8 rows (TPU min sublane tile); only row 0 is the
+    # actual next-row lookahead
+    halo = halo_ref[0:1, :].astype(jnp.int32)  # (1, 128)
 
-    n1 = _shift1(b, halo[:1, 0:1])
-    n2 = _shift1(n1, halo[:1, 1:2])
-    n3 = _shift1(n2, halo[:1, 2:3])
+    n1 = _shift1(b, halo[0, 0])
+    n2 = _shift1(n1, halo[0, 1])
+    n3 = _shift1(n2, halo[0, 2])
 
     cp1 = b
     cp2 = ((b & 0x1F) << 6) | (n1 & 0x3F)
@@ -70,8 +84,8 @@ def utf8_decode_block(
     assert N % BLOCK == 0, N
     rows = N // LANES
     d2 = data.reshape(rows, LANES)
-    # one zero row appended so the last block's halo is in range
-    d2p = jnp.concatenate([d2, jnp.zeros((1, LANES), data.dtype)], axis=0)
+    # eight zero rows appended so the last block's 8-row halo is in range
+    d2p = jnp.concatenate([d2, jnp.zeros((8, LANES), data.dtype)], axis=0)
 
     grid = (rows // BLOCK_ROWS,)
     cp2, start2 = pl.pallas_call(
@@ -80,7 +94,9 @@ def utf8_decode_block(
         in_specs=[
             pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda i: (BLOCK_ROWS * (i + 1), 0),
+            # 8-row halo block (TPU sublane minimum); block index units are
+            # in block-shape multiples: row offset = 8 * (BLOCK_ROWS/8) * (i+1)
+            pl.BlockSpec((8, LANES), lambda i: ((BLOCK_ROWS // 8) * (i + 1), 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
