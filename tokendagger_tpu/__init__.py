@@ -11,6 +11,11 @@ Public surface mirrors the reference package
 ``TokenDaggerError``.
 """
 
+from .registry import (  # noqa: F401
+    get_encoding,
+    list_encodings,
+    register_encoding,
+)
 from .streaming import StreamingEncoder  # noqa: F401
 from .wrapper import (  # noqa: F401
     Encoding,
@@ -32,6 +37,9 @@ __all__ = [
     "Tokenizer",
     "Encoding",
     "StreamingEncoder",
+    "get_encoding",
+    "register_encoding",
+    "list_encodings",
     "TokenDaggerError",
     "create_tokenizer",
     "load_tokenizer",
