@@ -66,7 +66,19 @@ class TestShardedText:
         text = "start " + "=" * 500 + " end " + "hello " * 2000
         _check(st, host, text)
 
-    def test_beyond_one_pass_falls_back(self, setup):
+    def test_multi_pass(self, setup):
         st, host = setup
-        text = "the and is " * 3000  # > 8 * 2048 bytes
+        text = "the and is " * 3000  # > 8 * 2048 bytes: several mesh passes
         _check(st, host, text)
+
+    def test_multi_pass_large(self, setup):
+        import sys
+        sys.path.insert(0, ".")
+        from bench import make_corpus
+
+        st, host = setup
+        _check(st, host, make_corpus(100_000, seed=4))
+
+    def test_multi_pass_cjk(self, setup):
+        st, host = setup
+        _check(st, host, "日本語のテキストです。" * 4000)

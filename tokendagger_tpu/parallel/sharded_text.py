@@ -47,6 +47,8 @@ def _local_tokenize(
     buf,            # (W+H,) uint8: my bytes + right halo
     nlocal,         # scalar int32: valid bytes in buf (clipped at text end)
     is_last,        # scalar bool: am I the final shard (true EOS)
+    trim_after,     # scalar int32: drop pieces ending beyond this local
+                    #   byte (multi-pass continuation safe-cut; big = none)
     my_index,       # scalar int32
     page_ids, pages, byte_rank, pair_rows,
     *, W: int, H: int, D: int, mask: int, profile: str,
@@ -56,6 +58,7 @@ def _local_tokenize(
     buf = buf.reshape(-1)
     nlocal = nlocal.reshape(())
     is_last = is_last.reshape(())
+    trim_after = trim_after.reshape(())
     my_index = my_index.reshape(())
     WH = W + H
     idx = jnp.arange(WH, dtype=jnp.int32)
@@ -123,7 +126,13 @@ def _local_tokenize(
     end_byte = jnp.where(
         keep & (jnp.arange(WH) + piece_len_chars >= m), nlocal, end_byte
     )
+    # multi-pass continuation: drop pieces past the safe-cut (they will be
+    # re-scanned at the start of the next mesh pass)
+    keep = keep & (end_byte <= trim_after)
+    end_byte = jnp.where(keep, end_byte, 0)
+    piece_len_chars = jnp.where(keep, piece_len_chars, 0)
     piece_bytes = jnp.where(keep, end_byte - start_byte, 0)
+    consumed_end = jnp.max(jnp.where(keep, end_byte, 0))
 
     # overflow: a kept piece too close to the halo end (possible false-EOS
     # contamination) unless this is the last shard, or too wide to merge
@@ -166,6 +175,7 @@ def _local_tokenize(
         flat.reshape(1, -1),
         total.reshape(1),
         overflow.reshape(1),
+        consumed_end.reshape(1),
         total_bytes,
     )
 
@@ -198,22 +208,21 @@ class ShardedTextEncoder:
                 mesh=mesh,
                 in_specs=(
                     P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                    P(DATA_AXIS),
                     P(None), P(None, None), P(None), P(None, None),
                 ),
-                out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+                out_specs=(
+                    P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                    P(),
+                ),
             )
         )
 
-    def encode(self, data: bytes) -> np.ndarray:
+    def _one_pass(self, data: bytes, final: bool):
+        """Tokenize up to D*W bytes; returns (ids or None-on-overflow,
+        consumed_bytes)."""
         D, W, H = self.D, self.W, self.H
         n = len(data)
-        if n == 0:
-            return np.zeros(0, dtype=np.int64)
-        if n > D * W:
-            # streams beyond one mesh pass would need piece-aligned outer
-            # windows; route them through the exact windowed device path
-            return self.eng.encode_stream(data)
-
         buf = np.zeros((D, W + H), dtype=np.uint8)
         nloc = np.zeros(D, dtype=np.int32)
         for d in range(D):
@@ -223,21 +232,62 @@ class ShardedTextEncoder:
                 chunk = np.frombuffer(data[lo:hi], dtype=np.uint8)
                 buf[d, : len(chunk)] = chunk
                 nloc[d] = len(chunk)
+        last = min((n - 1) // W, D - 1)
         is_last = np.zeros(D, dtype=bool)
-        is_last[min((n - 1) // W, D - 1) if n else 0] = True
+        trim = np.full(D, 1 << 30, dtype=np.int32)
+        if final:
+            is_last[last] = True
+        else:
+            # the stream continues past this pass: the last shard's tail is
+            # a false end-of-text; trim at its safe cut and resume there
+            rs = self.eng._safe_cut_threshold(bytes(buf[last, : nloc[last]]))
+            if rs <= 0:
+                return None, 0  # single run spans the shard: fall back
+            trim[last] = rs
         eng = self.eng
         jnp_ = eng._jnp
-        flat, totals, overflow, _ = self._fn(
+        flat, totals, overflow, cends, _ = self._fn(
             jnp_.asarray(buf),
             jnp_.asarray(nloc),
             jnp_.asarray(is_last),
+            jnp_.asarray(trim),
             jnp_.asarray(np.arange(D, dtype=np.int32)),
             eng._page_ids, eng._pages, eng._byte_rank, eng._pair_rows,
         )
         if bool(np.asarray(overflow).any()):
-            return eng.encode_stream(data)  # exact fallback
+            return None, 0
         flat = np.asarray(flat)
         totals = np.asarray(totals)
-        return np.concatenate(
+        cends = np.asarray(cends)
+        ids = np.concatenate(
             [flat[d, : totals[d]] for d in range(D)]
         ).astype(np.int64)
+        if final:
+            return ids, n
+        # resume point = global end of the last emitted piece (pieces are
+        # contiguous, so this is the max over shards; a shard whose pieces
+        # overhang into the next shard's region can exceed that shard's own
+        # start when the next shard kept nothing)
+        consumed = int(max(d * W + int(cends[d]) for d in range(D)))
+        if consumed <= 0:
+            return None, 0
+        return ids, consumed
+
+    def encode(self, data: bytes) -> np.ndarray:
+        D, W = self.D, self.W
+        n = len(data)
+        if n == 0:
+            return np.zeros(0, dtype=np.int64)
+        out: list[np.ndarray] = []
+        base = 0
+        while base < n:
+            final = (n - base) <= D * W
+            ids, consumed = self._one_pass(data[base : base + D * W], final)
+            if ids is None:
+                # exactness guard tripped: windowed device path from here
+                out.append(self.eng.encode_stream(data[base:]))
+                base = n
+                break
+            out.append(ids)
+            base += consumed
+        return np.concatenate(out) if out else np.zeros(0, dtype=np.int64)
