@@ -25,7 +25,7 @@ the stream path relies on merge exactness instead of replicating it.
 
 from __future__ import annotations
 
-from typing import AbstractSet, Iterator, Sequence
+from typing import AbstractSet, Iterator
 
 import numpy as np
 

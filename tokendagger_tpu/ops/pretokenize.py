@@ -21,8 +21,6 @@ the true byte count `nbytes`; outputs are padded with sentinels.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

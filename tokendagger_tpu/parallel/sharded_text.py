@@ -33,7 +33,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.merge import merge_rows_local
 from ..ops.pretokenize import match_lengths_jax, utf8_decode
