@@ -28,9 +28,10 @@ PATTERN_NOCONTR = (
 )
 PAT_NC = regex.compile(PATTERN_NOCONTR)
 
-from tokendagger_tpu.vocab import CL100K_PATTERN  # noqa: E402
+from tokendagger_tpu.vocab import CL100K_PATTERN, GPT2_PATTERN  # noqa: E402
 
 PAT_CL = regex.compile(CL100K_PATTERN)
+PAT_G2 = regex.compile(GPT2_PATTERN)
 
 EDGE_TEXTS = [
     "", "a", "A", "hello world", "Hello World", "HELLO", "HTTPConnection",
@@ -66,7 +67,8 @@ def oracle_spans(pat, text):
 def check(text, tag, verbose=True):
     ok = True
     for pat, profile in (
-        (PAT, "llama4"), (PAT_NC, "nocontract"), (PAT_CL, "cl100k")
+        (PAT, "llama4"), (PAT_NC, "nocontract"), (PAT_CL, "cl100k"),
+        (PAT_G2, "gpt2"),
     ):
         got = split_spans(text, profile=profile)
         want = oracle_spans(pat, text)

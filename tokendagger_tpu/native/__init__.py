@@ -169,7 +169,7 @@ class NativeEngine:
     """Native scan+merge over one vocab. Thread-safe (stateless calls)."""
 
     # scanner profile ids (must match the C++ Profile enum)
-    _PROFILES = {"nocontract": 0, "llama4": 1, "cl100k": 2}
+    _PROFILES = {"nocontract": 0, "llama4": 1, "cl100k": 2, "gpt2": 3}
 
     def __init__(
         self,

@@ -75,7 +75,7 @@ struct Tables {
 
 // scanner profiles, carried in Tables.contractions (backwards compatible:
 // 0/1 keep their original off/on meaning for the o200k family)
-enum Profile : int { P_NOCONTRACT = 0, P_LLAMA4 = 1, P_CL100K = 2 };
+enum Profile : int { P_NOCONTRACT = 0, P_LLAMA4 = 1, P_CL100K = 2, P_GPT2 = 3 };
 
 inline uint64_t fnv1a(const uint8_t* p, int64_t n) {
   uint64_t h = 1469598103934665603ull;
@@ -392,9 +392,90 @@ struct BScan {
     return p1ptr;  // safety
   }
 
+  // gpt2 / r50k / p50k profile: '(?:[sdmt]|ll|ve|re) (case-sensitive)
+  //   | ' '?\p{L}+ | ' '?\p{N}+ | ' '?[^\s\p{L}\p{N}]+ | \s+(?!\S) | \s+
+  const uint8_t* match_end_gpt2(const uint8_t* p) const {
+    int32_t c0;
+    const uint8_t* p1ptr = dec(p, &c0);
+    uint8_t k0 = cls(c0);
+
+    // G1: case-sensitive contraction
+    if (c0 == '\'' && p1ptr < end) {
+      uint8_t c1 = *p1ptr;
+      if (c1 == 's' || c1 == 'd' || c1 == 'm' || c1 == 't') return p1ptr + 1;
+      if (p1ptr + 1 < end) {
+        uint8_t c2 = p1ptr[1];
+        if ((c1 == 'l' && c2 == 'l') || (c1 == 'v' && c2 == 'e') ||
+            (c1 == 'r' && c2 == 'e'))
+          return p1ptr + 2;
+      }
+    }
+
+    // G2..G4: optional space + single class run
+    for (uint8_t bit : {LETTER, NUM}) {
+      const uint8_t* q = nullptr;
+      if (c0 == ' ')
+        q = p1ptr;
+      else if (k0 & bit)
+        q = p;
+      if (q) {
+        const uint8_t* e = q;
+        while (e < end) {
+          int32_t c;
+          const uint8_t* ne = dec(e, &c);
+          if (!(cls(c) & bit)) break;
+          e = ne;
+        }
+        if (e > q) return e;
+      }
+    }
+    {  // punct run: [^\s\p{L}\p{N}]
+      const uint8_t* q = nullptr;
+      if (c0 == ' ')
+        q = p1ptr;
+      else if (!(k0 & (WS | LETTER | NUM)))
+        q = p;
+      if (q) {
+        const uint8_t* e = q;
+        while (e < end) {
+          int32_t c;
+          const uint8_t* ne = dec(e, &c);
+          if ((cls(c) & (WS | LETTER | NUM))) break;
+          e = ne;
+        }
+        if (e > q) return e;
+      }
+    }
+
+    // G5/G6: whitespace
+    if (k0 & WS) {
+      const uint8_t* q = p;
+      const uint8_t* prev_start = p;
+      while (q < end) {
+        const uint8_t* q2 = skip_spaces(q, end);
+        if (q2 > q) {
+          prev_start = q2 - 1;
+          q = q2;
+          if (q >= end) break;
+        }
+        int32_t c;
+        const uint8_t* nq = dec(q, &c);
+        if (!(cls(c) & WS)) break;
+        prev_start = q;
+        q = nq;
+      }
+      if (q == end) return q;
+      if (prev_start > p) return prev_start;
+      return q;
+    }
+
+    return p1ptr;  // safety
+  }
+
   // match end (byte pointer) for the match starting at p (p < end)
   const uint8_t* match_end(const uint8_t* p) const {
     if (t->contractions == P_CL100K) return match_end_cl100k(p);
+    if (t->contractions == P_GPT2) return match_end_gpt2(p);
     int32_t c0;
     const uint8_t* p1ptr = dec(p, &c0);
     uint8_t k0 = cls(c0);

@@ -85,6 +85,8 @@ def match_lengths_jax(
         profile = "llama4" if contractions else "nocontract"
     if profile == "cl100k":
         return _match_lengths_cl100k_jax(cp, m, page_ids, pages)
+    if profile == "gpt2":
+        return _match_lengths_gpt2_jax(cp, m, page_ids, pages)
     contractions = profile != "nocontract"
     N = cp.shape[0]
     idx = jnp.arange(N, dtype=jnp.int32)
@@ -296,6 +298,76 @@ def _match_lengths_cl100k_jax(
                             jnp.where(c4 > 0, c4,
                                       jnp.where(c5 > 0, c5,
                                                 jnp.where(c6 > 0, c6, c7))))),
+    )
+    return jnp.maximum(lens, 1).astype(jnp.int32)
+
+
+def _match_lengths_gpt2_jax(
+    cp: jnp.ndarray, m: jnp.ndarray, page_ids: jnp.ndarray, pages: jnp.ndarray
+) -> jnp.ndarray:
+    """gpt2/r50k/p50k profile (see scanner_ref._match_lengths_gpt2):
+    case-sensitive contractions, optional-space class runs."""
+    N = cp.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    valid = idx < m
+
+    cls = _cls_lookup(cp, page_ids, pages)
+    ws = ((cls & WS) != 0) & valid
+    let = ((cls & LETTER) != 0) & valid
+    num = ((cls & NUM) != 0) & valid
+    pu = ~((cls & (WS | LETTER | NUM)) != 0) & valid
+    sp = (cp == ord(" ")) & valid
+
+    ws_run = _runlen(ws, idx, N)
+    let_run = _runlen(let, idx, N)
+    num_run = _runlen(num, idx, N)
+    pu_run = _runlen(pu, idx, N)
+
+    last = jnp.int32(N - 1)
+
+    def g(a, j):
+        return a[jnp.clip(j, 0, last)]
+
+    cp1 = jnp.concatenate([cp[1:], jnp.zeros((1,), cp.dtype)])
+    cp1 = jnp.where(idx + 1 < m, cp1, 0)
+    cp2 = jnp.concatenate([cp[2:], jnp.zeros((2,), cp.dtype)])
+    cp2 = jnp.where(idx + 2 < m, cp2, 0)
+    apo = (cp == ord("'")) & valid
+    one = (
+        (cp1 == ord("s")) | (cp1 == ord("d")) | (cp1 == ord("m"))
+        | (cp1 == ord("t"))
+    )
+    two = (
+        ((cp1 == ord("l")) & (cp2 == ord("l")))
+        | ((cp1 == ord("v")) & (cp2 == ord("e")))
+        | ((cp1 == ord("r")) & (cp2 == ord("e")))
+    )
+    g1 = jnp.where(apo & one, 2, jnp.where(apo & two, 3, 0))
+
+    j1 = idx + 1
+
+    def sp_run(run):
+        pre = g(run, j1)
+        return jnp.where(
+            sp & (pre > 0), 1 + pre, jnp.where(run > 0, run, 0)
+        )
+
+    g2 = sp_run(let_run)
+    g3 = sp_run(num_run)
+    g4 = sp_run(pu_run)
+
+    at_eos = (idx + ws_run) == m
+    g5 = jnp.where(
+        (ws_run > 0) & at_eos, ws_run, jnp.where(ws_run >= 2, ws_run - 1, 0)
+    )
+    g6 = ws_run
+
+    lens = jnp.where(
+        g1 > 0, g1,
+        jnp.where(g2 > 0, g2,
+                  jnp.where(g3 > 0, g3,
+                            jnp.where(g4 > 0, g4,
+                                      jnp.where(g5 > 0, g5, g6)))),
     )
     return jnp.maximum(lens, 1).astype(jnp.int32)
 

@@ -84,6 +84,8 @@ def match_lengths(
         profile = "llama4" if contractions else "nocontract"
     if profile == "cl100k":
         return _match_lengths_cl100k(cp)
+    if profile == "gpt2":
+        return _match_lengths_gpt2(cp)
     contractions = profile != "nocontract"
     classes, _ = get_tables()
     n = len(cp)
@@ -321,6 +323,72 @@ def _match_lengths_cl100k(cp: np.ndarray) -> np.ndarray:
         [c1 > 0, c2 > 0, c3 > 0, c4 > 0, c5 > 0, c6 > 0],
         [c1, c2, c3, c4, c5, c6],
         default=c7,
+    ).astype(np.int32)
+    return np.maximum(lens, 1)
+
+
+def _match_lengths_gpt2(cp: np.ndarray) -> np.ndarray:
+    r"""gpt2 / r50k / p50k pattern:
+        '(?:[sdmt]|ll|ve|re)        (CASE-SENSITIVE)
+        |\x20?\p{L}+ | \x20?\p{N}+ | \x20?[^\s\p{L}\p{N}]+
+        |\s+(?!\S) | \s+
+    Simple greedy alternatives over single class runs with an optional
+    literal-space prefix (backtracks, which reduces to: with-space branch
+    iff a run follows the space)."""
+    classes, _ = get_tables()
+    n = len(cp)
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+
+    cls = classes[cp]
+    ws = (cls & WS) != 0
+    let = (cls & LETTER) != 0
+    num = (cls & NUM) != 0
+    pu = ~(ws | let | num)
+    sp = cp == ord(" ")
+
+    PAD = 4
+    z32 = lambda a: np.concatenate([a.astype(np.int32), np.zeros(PAD, np.int32)])
+    ws_run = z32(_runlen(ws))
+    let_run = z32(_runlen(let))
+    num_run = z32(_runlen(num))
+    pu_run = z32(_runlen(pu))
+
+    idx = np.arange(n, dtype=np.int32)
+    j1 = np.minimum(idx + 1, n)
+
+    cpp = np.concatenate([cp.astype(np.int64), np.zeros(PAD, np.int64)])
+    c1 = cpp[1:n + 1]
+    c2 = cpp[2:n + 2]
+    apo = cp == ord("'")
+    one = np.isin(c1, (ord("s"), ord("d"), ord("m"), ord("t")))
+    two = (
+        ((c1 == ord("l")) & (c2 == ord("l")))
+        | ((c1 == ord("v")) & (c2 == ord("e")))
+        | ((c1 == ord("r")) & (c2 == ord("e")))
+    )
+    g1 = np.where(apo & one, 2, np.where(apo & two, 3, 0))
+
+    def sp_run(run):
+        """' ?<class>+' with the greedy-prefix backtracking rule."""
+        pre = run[j1]
+        return np.where(
+            sp & (pre > 0), 1 + pre, np.where(run[:n] > 0, run[:n], 0)
+        )
+
+    g2 = sp_run(let_run)
+    g3 = sp_run(num_run)
+    g4 = sp_run(pu_run)
+
+    Lw = ws_run[:n]
+    at_eos = (idx + Lw) == n
+    g5 = np.where((Lw > 0) & at_eos, Lw, np.where(Lw >= 2, Lw - 1, 0))
+    g6 = Lw
+
+    lens = np.select(
+        [g1 > 0, g2 > 0, g3 > 0, g4 > 0, g5 > 0],
+        [g1, g2, g3, g4, g5],
+        default=g6,
     ).astype(np.int32)
     return np.maximum(lens, 1)
 

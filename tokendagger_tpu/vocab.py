@@ -67,6 +67,18 @@ CL100K_PATTERN = (
     r"|\s+"
 )
 
+# The gpt2 / r50k_base / p50k_base pattern (tiktoken's original family):
+# case-SENSITIVE contractions, optional-space word/number/punct runs,
+# unbounded digit runs.
+GPT2_PATTERN = (
+    r"'(?:[sdmt]|ll|ve|re)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+"
+    r"|\s+(?!\S)"
+    r"|\s+"
+)
+
 _CONTRACTION_GROUP = r"(?i:'s|'t|'re|'ve|'m|'ll|'d)?"
 
 
@@ -83,6 +95,8 @@ def classify_pattern(pattern: str) -> str | None:
         return "nocontract"
     if pattern == CL100K_PATTERN:
         return "cl100k"
+    if pattern == GPT2_PATTERN:
+        return "gpt2"
     # normalize: removing the contraction group from a llama4-family
     # pattern must yield the no-contraction canon
     if pattern.replace(_CONTRACTION_GROUP, "") == TEKKEN_PATTERN:
