@@ -10,6 +10,19 @@ from tokendagger_tpu.vocab import LLAMA4_PATTERN, TEKKEN_PATTERN
 from fuzz_scanner import EDGE_TEXTS, random_text
 
 
+def test_native_builds_when_toolchain_present():
+    """A broken tdnative.cpp must FAIL the suite, not silently skip (the
+    graceful fallback would otherwise hide compile errors)."""
+    import shutil
+
+    from tokendagger_tpu.native import get_lib, get_pymod
+
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    assert get_lib() is not None, "native library failed to build"
+    assert get_pymod() is not None, "CPython extension failed to build"
+
+
 def _make_native(ranks, specials, contractions=True):
     from tokendagger_tpu.native import NativeEngine, get_lib
 

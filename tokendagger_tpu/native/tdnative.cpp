@@ -452,12 +452,6 @@ struct BScan {
       const uint8_t* q = p;
       const uint8_t* prev_start = p;
       while (q < end) {
-        const uint8_t* q2 = skip_spaces(q, end);
-        if (q2 > q) {
-          prev_start = q2 - 1;
-          q = q2;
-          if (q >= end) break;
-        }
         int32_t c;
         const uint8_t* nq = dec(q, &c);
         if (!(cls(c) & WS)) break;
