@@ -136,3 +136,37 @@ class TestDeviceTextPath:
             host.encode("a b c", set())[0],
             host.encode(text, set())[0],
         ]
+
+
+class TestGiantClassRuns:
+    """Regression (ADVICE r1): the windowed safe cut must find the true
+    start of a class run even when the run is longer than the backward-
+    search tail (8192 bytes) or the whole scan window."""
+
+    def test_ws_run_crossing_window_cut(self):
+        # ws merges make a mis-finalized '\s*[\r\n]+' piece change the ids
+        ranks = {bytes([i]): i for i in range(256)}
+        ranks[b"\n "] = 256
+        ranks[b"  "] = 257
+        ranks[b" \n"] = 258
+        dev = DeviceEngine(LLAMA4_PATTERN, ranks, {})
+        host = HostEngine(LLAMA4_PATTERN, ranks, {})
+        text = "x" * 56000 + "\n" + " " * 12000 + "\n" + "b"
+        want = host.encode_ordinary(text)
+        got = dev.encode_stream(text.encode())
+        assert got.tolist() == want
+
+    def test_runs_longer_than_window(self, tiny_engines):
+        dev, host = tiny_engines
+        cases = [
+            "hello " * 100 + " " * 70000 + "\n" + "tail",
+            " " * 140000 + "\nx",                      # run spans everything
+            "a" * 100000 + " done",                    # letters run
+            " " * 90000 + "\n" + "the quick brown fox " * 40,
+            "b" * 70000 + " " * 70000 + "9" * 70000 + "." * 70000,
+            "　" * 30000 + "\nx y z",              # unicode whitespace
+        ]
+        for text in cases:
+            want = host.encode_ordinary(text)
+            got = dev.encode_stream(text.encode())
+            assert got.tolist() == want, text[:40]

@@ -70,6 +70,28 @@ class TestStreaming:
         out += enc.flush()
         assert out == tok.encode(" " * 100 + "x", disallowed_special=())
 
+    def test_run_longer_than_safecut_tail(self):
+        # Regression (ADVICE r1): a class run longer than the 8192-char
+        # safe-cut tail must be held back entirely, not finalized at the
+        # truncation point — the '\n' must stay joined to the space run.
+        ranks = {bytes([i]): i for i in range(256)}
+        ranks[b"\n "] = 256
+        ranks[b"  "] = 257
+        ranks[b" \n"] = 258
+        tok = Tokenizer("ws", pattern=LLAMA4_PATTERN, mergeable_ranks=ranks,
+                        special_tokens={}, backend="host")
+        text = "a\n" + " " * 9000 + "\nb"
+        want = tok.encode(text, disallowed_special=())
+        got = stream_encode(tok, text, ["a\n" + " " * 9000, "\nb"])
+        assert got == want
+        # newline buried mid-run, fed in uneven chunks
+        text2 = "x" * 20 + " " * 8500 + "\n" + " " * 700 + "\nend"
+        want2 = tok.encode(text2, disallowed_special=())
+        got2 = stream_encode(
+            tok, text2, [text2[:4000], text2[4000:8600], text2[8600:]]
+        )
+        assert got2 == want2
+
     def test_unknown_special_raises(self, tok):
         with pytest.raises(KeyError):
             StreamingEncoder(tok, allowed_special={"<|nope|>"})

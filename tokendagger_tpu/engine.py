@@ -130,11 +130,15 @@ class DeviceEngine:
             self._page_ids = jnp.asarray(page_ids)
             self._pages = jnp.asarray(pages)
             # the CPU backend's compile time scales with shape; keep its
-            # scan windows small (the CPU device path exists for tests)
-            self._window = (
-                SCAN_SIZES[1] if jax.default_backend() == "cpu"
-                else SCAN_SIZES[-1]
-            )
+            # scan windows small (the CPU device path exists for tests) and
+            # never grow them (a 1 MB-shape CPU compile can take minutes) —
+            # runs longer than the window take the host-advance path.
+            if jax.default_backend() == "cpu":
+                self._window = SCAN_SIZES[1]
+                self._max_window = SCAN_SIZES[1]
+            else:
+                self._window = SCAN_SIZES[-1]
+                self._max_window = MAX_WINDOW
 
     # ==================================================================
     # Stream path (fixed-shape windowed scanning)
@@ -143,20 +147,15 @@ class DeviceEngine:
         """Largest byte offset rs such that every piece ending <= rs is
         unaffected by bytes beyond the window (see module docstring of
         ops/pretokenize.py): rs = start of the character-class run touching
-        the window edge, minus lookahead slack."""
+        the window edge, minus lookahead slack.
+
+        The run start must be found exactly: if the decoded tail is one
+        unbroken class run, the run may begin before the tail, so the
+        backward search extends until a class change is found (or the
+        window start is reached, in which case there is no safe cut)."""
         from .unicode_tables import LC, LETTER, NUM, UC, WS, get_tables
 
         classes, _ = get_tables()
-        # decode a bounded tail; align to a char boundary first
-        tail_n = min(len(window), 8192)
-        t0 = len(window) - tail_n
-        while t0 < len(window) and (window[t0] & 0xC0) == 0x80:
-            t0 += 1
-        tail = window[t0:].decode("utf-8", errors="ignore")
-        if not tail:
-            return max(0, t0 - CUT_SLACK)
-        cps = np.frombuffer(tail.encode("utf-32-le"), dtype=np.uint32)
-        cls = classes[cps.astype(np.int64)]
 
         def coarse(c: np.ndarray) -> np.ndarray:
             ws = (c & WS) != 0
@@ -164,17 +163,32 @@ class DeviceEngine:
             num = (c & NUM) != 0
             return np.where(ws, 0, np.where(num & ~wd, 1, np.where(wd, 2, 3)))
 
-        co = coarse(cls)
-        same = co == co[-1]
-        # last index where the class differs -> run start is one past it
-        diff = np.nonzero(~same)[0]
-        if len(diff) == 0:
-            run_start_char = 0
-        else:
+        tail_n = 8192
+        while True:
+            t0 = max(0, len(window) - tail_n)
+            at_start = t0 == 0
+            # align to a char boundary
+            while t0 < len(window) and (window[t0] & 0xC0) == 0x80:
+                t0 += 1
+            tail = window[t0:].decode("utf-8", errors="ignore")
+            if not tail:
+                if at_start:
+                    return 0
+                tail_n *= 4
+                continue
+            cps = np.frombuffer(tail.encode("utf-32-le"), dtype=np.uint32)
+            co = coarse(classes[cps.astype(np.int64)])
+            # last index where the class differs -> run start is one past it
+            diff = np.nonzero(co != co[-1])[0]
+            if len(diff) == 0:
+                if at_start:
+                    return 0  # whole window is one run: no safe cut
+                tail_n *= 4  # run may start before the tail: look further back
+                continue
             run_start_char = int(diff[-1]) + 1
-        # byte offset of run_start_char within the tail
-        run_start_b = t0 + len(tail[:run_start_char].encode("utf-8"))
-        return max(0, run_start_b - CUT_SLACK)
+            # byte offset of run_start_char within the tail
+            run_start_b = t0 + len(tail[:run_start_char].encode("utf-8"))
+            return max(0, run_start_b - CUT_SLACK)
 
     def _scan_window(self, window: bytes, is_final: bool):
         """Device-scan one window; return (starts, lens, consumed_bytes).
@@ -287,6 +301,38 @@ class DeviceEngine:
             flat[out_pos[r] : out_pos[r] + len(ids)] = ids
         return flat
 
+    def _host_advance(self, data: bytes, base: int) -> tuple[np.ndarray, int]:
+        """Exact host fallback when a single class run outgrows the largest
+        device window: host-encode the maximal *finalized* prefix (pieces
+        ending at or before a safe cut found in a geometrically grown host
+        window) and return (ids, consumed_bytes) so the caller resumes the
+        device path right after the run."""
+        from .streaming import _safe_cut_chars
+
+        n = len(data)
+        wsize = max(self._max_window, 1 << 16) * 4
+        while True:
+            end = min(n, base + wsize)
+            while end < n and (data[end] & 0xC0) == 0x80:
+                end += 1  # align to a char boundary
+            text = data[base:end].decode("utf-8", errors="strict")
+            if end >= n:
+                ids = self.host.encode_ordinary(text)
+                return np.asarray(ids, dtype=np.int64), n - base
+            rs_c = _safe_cut_chars(text)
+            last_end_c = 0
+            if rs_c > 0:
+                for mt in self.host._re.finditer(text):
+                    if mt.end() > rs_c:
+                        break
+                    last_end_c = mt.end()
+            if last_end_c == 0:
+                wsize *= 4  # run still spans the host window: keep growing
+                continue
+            prefix = text[:last_end_c]
+            ids = self.host.encode_ordinary(prefix)
+            return np.asarray(ids, dtype=np.int64), len(prefix.encode("utf-8"))
+
     def encode_stream(self, data: bytes) -> np.ndarray:
         """Ordinary-encode one byte segment via the windowed device
         pipeline. Arbitrary length; all device calls use fixed shapes."""
@@ -300,18 +346,17 @@ class DeviceEngine:
             dev, starts, lens, consumed = self._scan_window(window, is_final)
             if consumed == 0:
                 # no safe cut inside the window: a single class run spans
-                # it. Grow the window (fixed shapes up to MAX_WINDOW)...
-                if win < MAX_WINDOW and win < n - base:
-                    win = min(win * 4, MAX_WINDOW)
+                # it. Grow the window (fixed shapes up to the backend cap)...
+                if win < self._max_window and win < n - base:
+                    win = min(win * 4, self._max_window)
                     continue
-                # ...and only truly pathological runs (> MAX_WINDOW) take
-                # the exact host fallback for the remainder.
-                ids = self.host.encode_ordinary(
-                    data[base:].decode("utf-8", errors="strict")
-                )
-                out.append(np.asarray(ids, dtype=np.int64))
-                base = n
-                break
+                # ...then runs longer than the cap take the exact host
+                # fallback, but only past the run — the device path resumes.
+                ids, adv = self._host_advance(data, base)
+                out.append(ids)
+                base += adv
+                win = self._window
+                continue
             out.append(self._merge_pieces(window, dev, starts, lens))
             base += consumed
             win = self._window

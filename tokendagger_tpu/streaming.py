@@ -31,21 +31,32 @@ _SLACK_CHARS = 4
 def _safe_cut_chars(text: str) -> int:
     """Largest char index rs such that pretoken pieces ending <= rs cannot
     be changed by appending more text: start of the coarse class run
-    touching the end, minus lookahead slack."""
+    touching the end, minus lookahead slack.
+
+    If the examined tail is one unbroken class run the run may begin even
+    earlier, so the backward search extends until a class change is found
+    (or the whole buffer turns out to be one run -> hold everything back)."""
     if not text:
         return 0
     classes, _ = get_tables()
-    tail = text[-8192:]
-    base = len(text) - len(tail)
-    cps = np.frombuffer(tail.encode("utf-32-le"), dtype=np.uint32)
-    cls = classes[cps.astype(np.int64)]
-    ws = (cls & WS) != 0
-    wd = (cls & (UC | LC | LETTER)) != 0
-    num = ((cls & NUM) != 0) & ~wd
-    co = np.where(ws, 0, np.where(num, 1, np.where(wd, 2, 3)))
-    diff = np.nonzero(co != co[-1])[0]
-    run_start = base + (int(diff[-1]) + 1 if len(diff) else 0)
-    return max(0, run_start - _SLACK_CHARS)
+    tail_n = 8192
+    while True:
+        tail = text[-tail_n:]
+        base = len(text) - len(tail)
+        cps = np.frombuffer(tail.encode("utf-32-le"), dtype=np.uint32)
+        cls = classes[cps.astype(np.int64)]
+        ws = (cls & WS) != 0
+        wd = (cls & (UC | LC | LETTER)) != 0
+        num = ((cls & NUM) != 0) & ~wd
+        co = np.where(ws, 0, np.where(num, 1, np.where(wd, 2, 3)))
+        diff = np.nonzero(co != co[-1])[0]
+        if len(diff) == 0:
+            if base == 0:
+                return 0  # whole buffer is one run: nothing is final yet
+            tail_n *= 4  # run may start before the tail: look further back
+            continue
+        run_start = base + int(diff[-1]) + 1
+        return max(0, run_start - _SLACK_CHARS)
 
 
 class StreamingEncoder:
