@@ -15,12 +15,18 @@ boundary semantics. The key decomposition:
 * Pieces starting inside a shard's own region belong to it, even when
   their bytes extend into the halo; the merge then runs shard-locally.
 
-Exactness guards (any violation flags `overflow` and the caller falls
-back to the host path):
-* a kept piece must end at least SAFETY bytes before the halo end (its
-  match length computation must not have been affected by the shard-local
-  false end-of-text), and
-* pieces must fit the merge row width.
+Exactness guards:
+* **Safe-cut guard** (flags `overflow` -> caller falls back to the
+  windowed host/device path): a kept piece may not end past the start of
+  the character-class run touching the shard buffer's end (minus
+  lookahead slack) unless the buffer ends at the true end of the text —
+  the same run-aware analysis as engine._safe_cut_threshold, computed
+  in-kernel. A piece ending inside that final run could have had its
+  match length truncated by the shard-local false end-of-text.
+* **Oversize pieces** (wider than MERGE_WIDTH) do NOT abandon the pass:
+  the kernel emits a sentinel id in their flat slot plus the piece's
+  (start, len), and the host splices in the exact sequential merge —
+  only more than OVERSIZE_CAP such pieces in one shard overflows.
 
 This module is the design/dry-run implementation (validated on virtual CPU
 meshes); `sharded_encode_step` in mesh.py remains the packed-rows DP path.
@@ -35,18 +41,22 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..engine import CUT_SLACK
+from ..hostengine import byte_pair_merge
 from ..ops.merge import merge_rows_local
-from ..ops.pretokenize import match_lengths_jax, utf8_decode
+from ..ops.pretokenize import _cls_lookup, match_lengths_jax, utf8_decode
+from ..unicode_tables import LC, LETTER, NUM, UC, WS
 
 DATA_AXIS = "data"
-SAFETY = 64          # bytes of halo that must remain beyond any kept piece
-MERGE_WIDTH = 32     # per-piece merge row width in the sharded kernel
+MERGE_WIDTH = 64     # per-piece merge row width in the sharded kernel
+OVERSIZE_CAP = 256   # max host-spliced oversize pieces per shard per pass
+SENTINEL = np.int32(2**31 - 2)  # flat-stream marker for an oversize piece
 
 
 def _local_tokenize(
     buf,            # (W+H,) uint8: my bytes + right halo
     nlocal,         # scalar int32: valid bytes in buf (clipped at text end)
-    is_last,        # scalar bool: am I the final shard (true EOS)
+    true_eos,       # scalar bool: my buffer ends at the true end of text
     trim_after,     # scalar int32: drop pieces ending beyond this local
                     #   byte (multi-pass continuation safe-cut; big = none)
     my_index,       # scalar int32
@@ -57,7 +67,7 @@ def _local_tokenize(
     # shard_map delivers a leading axis of size 1 per device
     buf = buf.reshape(-1)
     nlocal = nlocal.reshape(())
-    is_last = is_last.reshape(())
+    true_eos = true_eos.reshape(())
     trim_after = trim_after.reshape(())
     my_index = my_index.reshape(())
     WH = W + H
@@ -134,14 +144,28 @@ def _local_tokenize(
     piece_bytes = jnp.where(keep, end_byte - start_byte, 0)
     consumed_end = jnp.max(jnp.where(keep, end_byte, 0))
 
-    # overflow: a kept piece too close to the halo end (possible false-EOS
-    # contamination) unless this is the last shard, or too wide to merge
-    near_edge = keep & (end_byte > WH - SAFETY) & ~is_last
-    too_wide = keep & (piece_bytes > MERGE_WIDTH)
-    overflow = jnp.any(near_edge) | jnp.any(too_wide)
+    # --- safe-cut exactness guard ----------------------------------------
+    # Start of the coarse character-class run touching the end of valid
+    # data (run-extent analysis, mirroring engine._safe_cut_threshold): a
+    # kept piece ending past (run start - slack) may have been affected by
+    # the shard-local false end-of-text, unless this buffer ends at the
+    # true end of the text.
+    cls = _cls_lookup(cp, page_ids, pages)
+    c_ws = (cls & WS) != 0
+    c_wd = (cls & (UC | LC | LETTER)) != 0
+    c_num = ((cls & NUM) != 0) & ~c_wd
+    co = jnp.where(c_ws, 0, jnp.where(c_num, 1, jnp.where(c_wd, 2, 3)))
+    valid_char = idx < m
+    last_co = co[jnp.clip(m - 1, 0, WH - 1)]
+    diffpos = jnp.max(jnp.where(valid_char & (co != last_co), idx, -1))
+    run_start_char = diffpos + 1  # 0 when the whole buffer is one run
+    run_start_byte = boc[jnp.clip(run_start_char, 0, WH - 1)]
+    safe_b = run_start_byte - CUT_SLACK
+    unsafe = keep & (end_byte > safe_b) & ~true_eos
+    overflow = jnp.any(unsafe)
 
     # --- compact pieces and merge ----------------------------------------
-    R = W  # static piece capacity
+    R = W  # static piece capacity (pieces are >= 1 byte and start in [0, W))
     pid = jnp.cumsum(keep.astype(jnp.int32)) - 1
     n_pieces = jnp.maximum(jnp.where(jnp.any(keep), pid[-1] + 1, 0), 0)
     tgt = jnp.where(keep, jnp.minimum(pid, R - 1), R)
@@ -152,19 +176,34 @@ def _local_tokenize(
         jnp.where(keep, piece_bytes, 0), mode="drop"
     )
 
+    # oversize pieces: merged on host, spliced in at a sentinel slot
+    wide = l_arr > MERGE_WIDTH
+    wpid = jnp.cumsum(wide.astype(jnp.int32)) - 1
+    n_wide = jnp.maximum(jnp.where(jnp.any(wide), wpid[-1] + 1, 0), 0)
+    overflow = overflow | (n_wide > OVERSIZE_CAP)
+    wtgt = jnp.where(wide, jnp.minimum(wpid, OVERSIZE_CAP - 1), OVERSIZE_CAP)
+    os_start = jnp.zeros((OVERSIZE_CAP,), jnp.int32).at[wtgt].set(
+        jnp.where(wide, s_arr, 0), mode="drop"
+    )
+    os_len = jnp.zeros((OVERSIZE_CAP,), jnp.int32).at[wtgt].set(
+        jnp.where(wide, l_arr, 0), mode="drop"
+    )
+
+    l_merge = jnp.where(wide, 0, l_arr)
     cols = jnp.arange(MERGE_WIDTH, dtype=jnp.int32)[None, :]
     gidx = jnp.clip(s_arr[:, None] + cols, 0, WH - 1)
-    rows_buf = jnp.where(cols < l_arr[:, None], buf[gidx], 0)
+    rows_buf = jnp.where(cols < l_merge[:, None], buf[gidx], 0)
     tok, counts = merge_rows_local(
-        rows_buf, jnp.minimum(l_arr, MERGE_WIDTH), byte_rank, pair_rows,
-        mask=mask,
+        rows_buf, l_merge, byte_rank, pair_rows, mask=mask,
     )
+    counts = jnp.where(wide, 1, counts)
+    tok = tok.at[:, 0].set(jnp.where(wide, SENTINEL, tok[:, 0]))
 
     # flatten local tokens
     live = tok >= 0
     out_pos = jnp.cumsum(counts) - counts
     col_rank = jnp.cumsum(live, axis=1) - 1
-    cap = R * 4  # tokens never outnumber piece bytes; W/row cap is ample
+    cap = W + H  # tokens never outnumber piece bytes (<= buffer bytes)
     flat_idx = jnp.where(live, out_pos[:, None] + col_rank, cap)
     flat = jnp.full((cap,), -1, jnp.int32).at[flat_idx.reshape(-1)].set(
         tok.reshape(-1), mode="drop"
@@ -176,17 +215,21 @@ def _local_tokenize(
         total.reshape(1),
         overflow.reshape(1),
         consumed_end.reshape(1),
+        os_start.reshape(1, -1),
+        os_len.reshape(1, -1),
+        n_wide.reshape(1),
         total_bytes,
     )
 
 
 class ShardedTextEncoder:
     """Encode one byte stream data-parallel across a mesh with exact
-    halo-reconciled boundaries. Falls back to the host path whenever the
-    exactness guards trip."""
+    halo-reconciled boundaries. Falls back to the windowed single-device
+    path whenever the exactness guards trip (counted in ``fallbacks`` /
+    ``passes`` for observability)."""
 
-    def __init__(self, device_engine, mesh: Mesh, *, shard_bytes: int = 1 << 14,
-                 halo: int = 1 << 12):
+    def __init__(self, device_engine, mesh: Mesh, *, shard_bytes: int = 1 << 17,
+                 halo: int = 1 << 14):
         if not device_engine.stream:
             raise ValueError(
                 "ShardedTextEncoder requires a stream-capable DeviceEngine "
@@ -197,6 +240,8 @@ class ShardedTextEncoder:
         self.D = mesh.devices.size
         self.W = shard_bytes
         self.H = halo
+        self.passes = 0     # mesh passes attempted
+        self.fallbacks = 0  # passes abandoned to the single-device path
         eng = device_engine
         self._fn = jax.jit(
             jax.shard_map(
@@ -213,6 +258,7 @@ class ShardedTextEncoder:
                 ),
                 out_specs=(
                     P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                    P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
                     P(),
                 ),
             )
@@ -233,10 +279,12 @@ class ShardedTextEncoder:
                 buf[d, : len(chunk)] = chunk
                 nloc[d] = len(chunk)
         last = min((n - 1) // W, D - 1)
-        is_last = np.zeros(D, dtype=bool)
+        # a shard's buffer may end exactly at the true end of the text (its
+        # halo absorbs the tail) — then its false-EOS guard must not fire
+        true_eos = np.zeros(D, dtype=bool)
         trim = np.full(D, 1 << 30, dtype=np.int32)
         if final:
-            is_last[last] = True
+            true_eos = (nloc > 0) & (np.arange(D) * W + nloc == n)
         else:
             # the stream continues past this pass: the last shard's tail is
             # a false end-of-text; trim at its safe cut and resume there
@@ -246,10 +294,10 @@ class ShardedTextEncoder:
             trim[last] = rs
         eng = self.eng
         jnp_ = eng._jnp
-        flat, totals, overflow, cends, _ = self._fn(
+        flat, totals, overflow, cends, os_start, os_len, n_wide, _ = self._fn(
             jnp_.asarray(buf),
             jnp_.asarray(nloc),
-            jnp_.asarray(is_last),
+            jnp_.asarray(true_eos),
             jnp_.asarray(trim),
             jnp_.asarray(np.arange(D, dtype=np.int32)),
             eng._page_ids, eng._pages, eng._byte_rank, eng._pair_rows,
@@ -259,9 +307,18 @@ class ShardedTextEncoder:
         flat = np.asarray(flat)
         totals = np.asarray(totals)
         cends = np.asarray(cends)
-        ids = np.concatenate(
-            [flat[d, : totals[d]] for d in range(D)]
-        ).astype(np.int64)
+        os_start = np.asarray(os_start)
+        os_len = np.asarray(os_len)
+        n_wide = np.asarray(n_wide)
+        shard_ids = []
+        for d in range(D):
+            sf = flat[d, : totals[d]]
+            if n_wide[d]:
+                sf = self._splice_oversize(
+                    sf, data, d * W, os_start[d], os_len[d], int(n_wide[d])
+                )
+            shard_ids.append(sf)
+        ids = np.concatenate(shard_ids).astype(np.int64)
         if final:
             return ids, n
         # resume point = global end of the last emitted piece (pieces are
@@ -273,6 +330,27 @@ class ShardedTextEncoder:
             return None, 0
         return ids, consumed
 
+    def _splice_oversize(self, shard_flat, data, base, os_start, os_len,
+                         n_wide):
+        """Replace each SENTINEL slot with the exact sequential merge of
+        its oversize piece (sentinels and the compacted (start, len) spans
+        are both in piece order)."""
+        sent_pos = np.nonzero(shard_flat == SENTINEL)[0]
+        assert len(sent_pos) == n_wide, (len(sent_pos), n_wide)
+        parts = []
+        prev = 0
+        for j, p in enumerate(sent_pos):
+            parts.append(shard_flat[prev:p])
+            s0 = base + int(os_start[j])
+            piece = data[s0 : s0 + int(os_len[j])]
+            parts.append(
+                np.asarray(byte_pair_merge(piece, self.eng.ranks),
+                           dtype=shard_flat.dtype)
+            )
+            prev = p + 1
+        parts.append(shard_flat[prev:])
+        return np.concatenate(parts)
+
     def encode(self, data: bytes) -> np.ndarray:
         D, W = self.D, self.W
         n = len(data)
@@ -282,9 +360,11 @@ class ShardedTextEncoder:
         base = 0
         while base < n:
             final = (n - base) <= D * W
+            self.passes += 1
             ids, consumed = self._one_pass(data[base : base + D * W], final)
             if ids is None:
                 # exactness guard tripped: windowed device path from here
+                self.fallbacks += 1
                 out.append(self.eng.encode_stream(data[base:]))
                 base = n
                 break
