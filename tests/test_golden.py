@@ -1,20 +1,25 @@
 """Golden-output regression: encode the conformance corpus and compare to
-checked-in Llama-4 id dumps (tests/output/*_llama4.txt — the analogue of
-the reference's tests/output fixtures, regenerated against tiktoken).
+checked-in Llama-4 digests (tests/golden_llama4.json — the analogue of the
+reference's tests/output fixtures, generated against tiktoken and stored as
+sha256-of-ids + count + head/tail so the repo carries no megabyte id dumps).
 Catches silent scanner/vocab drift without needing the oracle at runtime."""
 
+import hashlib
+import json
 from pathlib import Path
 
 import pytest
 
-OUT = Path(__file__).parent / "output"
+FIXTURE = Path(__file__).parent / "golden_llama4.json"
 
 
-def _golden(name: str) -> list[int]:
-    p = OUT / f"{name}_llama4.txt"
-    if not p.exists():
-        pytest.skip(f"golden fixture {p.name} missing")
-    return [int(x) for x in p.read_text().split()]
+def _check_golden(name: str, ids: list[int]) -> None:
+    golden = json.loads(FIXTURE.read_text())[name]
+    assert len(ids) == golden["count"]
+    assert ids[:8] == golden["head"]
+    assert ids[-8:] == golden["tail"]
+    blob = ",".join(map(str, ids)).encode()
+    assert hashlib.sha256(blob).hexdigest() == golden["sha256"]
 
 
 @pytest.fixture(scope="module")
@@ -29,12 +34,12 @@ def enc(llama4_assets):
 
 
 def test_lorem_golden(enc, corpus_lorem):
-    assert enc.encode_ordinary(corpus_lorem) == _golden("lorem")
+    _check_golden("lorem", enc.encode_ordinary(corpus_lorem))
 
 
 @pytest.mark.slow
 def test_emoji_golden(enc, corpus_emoji):
-    assert enc.encode_ordinary(corpus_emoji) == _golden("emoji")
+    _check_golden("emoji", enc.encode_ordinary(corpus_emoji))
 
 
 def test_lorem_golden_device(llama4_assets, corpus_lorem):
@@ -44,4 +49,4 @@ def test_lorem_golden_device(llama4_assets, corpus_lorem):
     e = td.Encoding("golden-dev", pat_str=pattern, mergeable_ranks=ranks,
                     special_tokens=specials)
     e.backend = "tpu"
-    assert e.encode_ordinary(corpus_lorem) == _golden("lorem")
+    _check_golden("lorem", e.encode_ordinary(corpus_lorem))

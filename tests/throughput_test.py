@@ -220,7 +220,12 @@ def main() -> int:
         out["hf_throughput"] = hf
         out["hf_speedups"] = [round(a / b, 2) for a, b in zip(ours, hf)]
 
-    path = args.output or f"throughput_llama_{int(args.text_size)}mb.json"
+    if args.output:
+        path = Path(args.output)
+    else:
+        results = Path(__file__).resolve().parent.parent / "results"
+        results.mkdir(exist_ok=True)
+        path = results / f"throughput_llama_{int(args.text_size)}mb.json"
     Path(path).write_text(json.dumps(out, indent=2))
     svg_path = Path(path).with_suffix(".svg")
     svg_path.write_text(render_svg(out))
