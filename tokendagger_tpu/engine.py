@@ -112,13 +112,11 @@ class DeviceEngine:
 
         kind = classify_pattern(pattern)
         if stream is None:
-            stream = (
-                kind is not None
-                and not self._missing_bytes
-                # merge-only encode == tiktoken's lookup-then-merge only
-                # when every vocab token is merge-reachable (tables.py)
-                and self.tables.all_reachable
-            )
+            # The stream path is join-first (ops/fused.py): whole-piece
+            # vocab hits reproduce tiktoken's own fast path and misses take
+            # the merge loop, so merge-reachability of the vocab is NOT
+            # required (unlike the legacy merge-only piece batching).
+            stream = kind is not None and not self._missing_bytes
         self.stream = stream
         self._contractions = kind != "nocontract"
         self._profile = kind or "llama4"
@@ -129,6 +127,9 @@ class DeviceEngine:
             page_ids, pages = get_two_level_tables()
             self._page_ids = jnp.asarray(page_ids)
             self._pages = jnp.asarray(pages)
+            self._vk = jnp.asarray(self.tables.vocab_keys)
+            self._vlen = jnp.asarray(self.tables.vocab_lens)
+            self._vrank = jnp.asarray(self.tables.vocab_ranks)
             # the CPU backend's compile time scales with shape; keep its
             # scan windows small (the CPU device path exists for tests) and
             # never grow them (a 1 MB-shape CPU compile can take minutes) —
@@ -333,9 +334,68 @@ class DeviceEngine:
             ids = self.host.encode_ordinary(prefix)
             return np.asarray(ids, dtype=np.int64), len(prefix.encode("utf-8"))
 
+    def _fused_window(self, window: bytes, trim: int):
+        """Run the fused join-first resolver (ops/fused.py) on one window.
+        Returns (flat ids | None on cap overflow, consumed_bytes)."""
+        jnp = self._jnp
+        from .ops import pretokenize as PT
+        from .ops.fused import caps_for, resolve_window
+
+        n = len(window)
+        N = next(s for s in SCAN_SIZES if s >= n)
+        buf = np.zeros(N, dtype=np.uint8)
+        buf[:n] = np.frombuffer(window, dtype=np.uint8)
+        dev = jnp.asarray(buf)
+        nb = jnp.int32(n)
+        cp, _, boc, m = PT._utf8_decode_j(dev, nb, use_pallas=self._use_pallas)
+        lens = PT._match_lengths_j(
+            cp, m, self._page_ids, self._pages,
+            contractions=self._contractions, profile=self._profile,
+        )
+        starts = PT._chain_starts_j(lens, m)
+        flat, total, _n_pieces, _n_kept, consumed, overflow, os_s, os_l, n_os = (
+            resolve_window(
+                starts, boc, dev, nb, jnp.int32(trim),
+                self._byte_rank, self._pair_rows, self._pair_lut,
+                self._vk, self._vlen, self._vrank,
+                mask=self._pair_mask, **caps_for(N),
+            )
+        )
+        if bool(overflow):
+            return None, 0
+        total_i = int(total)
+        ids = np.asarray(flat[:total_i]).astype(np.int64)
+        n_os_i = int(n_os)
+        if n_os_i:
+            ids = self._splice_oversize(ids, window, np.asarray(os_s),
+                                        np.asarray(os_l), n_os_i)
+        return ids, int(consumed)
+
+    def _splice_oversize(self, ids: np.ndarray, window: bytes,
+                         os_s: np.ndarray, os_l: np.ndarray,
+                         n_os: int) -> np.ndarray:
+        """Replace SENTINEL slots with the exact sequential merge of each
+        >256-byte piece (both are in piece order)."""
+        from .ops.fused import SENTINEL
+
+        sent_pos = np.nonzero(ids == SENTINEL)[0]
+        assert len(sent_pos) == n_os, (len(sent_pos), n_os)
+        parts = []
+        prev = 0
+        for j, p in enumerate(sent_pos):
+            parts.append(ids[prev:p])
+            piece = window[int(os_s[j]) : int(os_s[j]) + int(os_l[j])]
+            parts.append(np.asarray(
+                byte_pair_merge(piece, self.ranks), dtype=ids.dtype
+            ))
+            prev = p + 1
+        parts.append(ids[prev:])
+        return np.concatenate(parts)
+
     def encode_stream(self, data: bytes) -> np.ndarray:
         """Ordinary-encode one byte segment via the windowed device
-        pipeline. Arbitrary length; all device calls use fixed shapes."""
+        pipeline (join-first fused resolver). Arbitrary length; all device
+        calls use fixed shapes."""
         out: list[np.ndarray] = []
         base = 0
         n = len(data)
@@ -343,10 +403,25 @@ class DeviceEngine:
         while base < n:
             window = data[base : base + win]
             is_final = base + len(window) >= n
-            dev, starts, lens, consumed = self._scan_window(window, is_final)
+            if is_final:
+                trim = len(window)
+            else:
+                trim = self._safe_cut_threshold(window)
+            result = (None, 0)
+            if trim > 0:
+                result = self._fused_window(window, trim)
+                if result[0] is None:
+                    # capacity overflow (pathological piece mix): exact
+                    # host fallback for a bounded prefix, then resume
+                    ids, adv = self._host_advance(data, base)
+                    out.append(ids)
+                    base += adv
+                    win = self._window
+                    continue
+            ids, consumed = result
             if consumed == 0:
-                # no safe cut inside the window: a single class run spans
-                # it. Grow the window (fixed shapes up to the backend cap)...
+                # no piece is final inside this window (a single class run
+                # spans it). Grow the window (fixed shapes, backend cap)...
                 if win < self._max_window and win < n - base:
                     win = min(win * 4, self._max_window)
                     continue
@@ -357,7 +432,7 @@ class DeviceEngine:
                 base += adv
                 win = self._window
                 continue
-            out.append(self._merge_pieces(window, dev, starts, lens))
+            out.append(ids)
             base += consumed
             win = self._window
         if not out:

@@ -49,7 +49,9 @@ def gather_merge(
 
         tok0, pr0 = lut_init(buf, lens, byte_rank, pair_lut)
         return merge_rows_from_state(tok0, pr0, lens, pair_rows, mask=mask)
-    return merge_rows_local(buf, lens, byte_rank, pair_rows, mask=mask)
+    return merge_rows_local(
+        buf, lens, byte_rank, pair_rows, mask=mask, pair_lut=pair_lut
+    )
 
 
 @partial(jax.jit, static_argnames=("mask", "width", "use_pallas"))

@@ -1,0 +1,201 @@
+r"""Fused device window resolver: join-first encode with merge fallback.
+
+One jitted stage that takes the pretokenizer scan state (char-level piece
+starts) plus the raw byte window and produces the final flat token ids on
+device — no host round-trips between pretokenization and ids:
+
+  piece keys (elementwise + monotone scatters, ops/join.py)
+    -> whole-piece vocab sort-join  (~100% of natural-language pieces hit)
+    -> misses scatter-packed into width-bucketed rows (16/64/256) and
+       merged by the row-parallel loop (ops/merge.py)
+    -> pieces wider than 256 bytes emit a SENTINEL id for host splicing
+    -> flat assembly via cumsum + monotone scatters
+
+Every data-dependent movement is a sort, a scan, or a scatter with
+monotonically increasing indices — the primitives measured fast on TPU —
+and the only random gathers left are the merge loop's pair-table probes,
+which run on the (rare) miss rows only.
+
+Trim semantics: pieces ending after ``trim`` (the windowed safe cut,
+engine._safe_cut_threshold) are dropped on device and re-scanned by the
+caller's next window; ``consumed`` reports the byte end of the last kept
+piece.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .join import compact_piece_keys, vocab_join
+from .merge import merge_rows_local
+
+SENTINEL = np.int32(2**31 - 2)  # flat-stream marker for an oversize piece
+
+# miss-bucket widths (single-piece merge rows)
+W16, W64, W256 = 16, 64, 256
+
+
+def caps_for(n: int) -> dict[str, int]:
+    """Static capacities for a window of n bytes: piece slots and per-width
+    miss-row capacities (merge arrays scale with these, so they are sized
+    for realistic worst cases, with an overflow flag for the rest)."""
+    return dict(
+        p_cap=max(512, n // 4),
+        m16=max(256, n // 16),
+        m64=max(64, n // 128),
+        m256=max(32, n // 1024),
+        os_cap=128,
+    )
+
+
+def _carry_op(x, y):
+    """'Last written value at or before me' fill; associative."""
+    fx, cx, px = x
+    fy, cy, py = y
+    take = fy != 0
+    return fx | fy, jnp.where(take, cy, cx), jnp.where(take, py, px)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("p_cap", "m16", "m64", "m256", "os_cap", "mask"),
+)
+def resolve_window(
+    starts_char: jnp.ndarray,   # (N,) bool char-level piece starts
+    byte_of_char: jnp.ndarray,  # (N,) int32 char -> byte offset
+    data: jnp.ndarray,          # (N,) uint8
+    nbytes: jnp.ndarray,        # scalar int32
+    trim: jnp.ndarray,          # scalar int32: keep pieces ending <= trim
+    byte_rank: jnp.ndarray,
+    pair_rows: jnp.ndarray,
+    pair_lut: jnp.ndarray,
+    vk: jnp.ndarray, vlen: jnp.ndarray, vrank: jnp.ndarray,
+    *,
+    p_cap: int, m16: int, m64: int, m256: int, os_cap: int, mask: int,
+):
+    N = data.shape[0]
+    bidx = jnp.arange(N, dtype=jnp.int32)
+    pslot = jnp.arange(p_cap, dtype=jnp.int32)
+
+    start_b, piece_len, k0, k1, k2, k3, n_pieces = compact_piece_keys(
+        starts_char, byte_of_char, data, nbytes, p_cap
+    )
+    end_b = start_b + piece_len
+    live = pslot < jnp.minimum(n_pieces, p_cap)
+    kept = live & (end_b <= trim)
+    n_kept = jnp.sum(kept.astype(jnp.int32))
+    consumed = jnp.max(jnp.where(kept, end_b, 0))
+
+    rank = vocab_join(k0, k1, k2, k3, piece_len, vk, vlen, vrank)
+    hit = kept & (rank >= 0)
+    miss = kept & (rank < 0)
+    f16 = miss & (piece_len <= W16)
+    f64 = miss & (piece_len > W16) & (piece_len <= W64)
+    f256 = miss & (piece_len > W64) & (piece_len <= W256)
+    fos = miss & (piece_len > W256)
+
+    overflow = n_pieces > p_cap
+
+    # ---- scatter-pack miss rows (gather-free) ---------------------------
+    # Piece attributes are written at piece-start bytes and carried forward
+    # along the byte axis; each miss byte then knows its (bucket, row,
+    # within-piece offset) and scatters itself into the packed row buffer.
+    buckets = []
+    bcode = jnp.full((p_cap,), 3, jnp.int32)  # 3 = not a miss row
+    rowof = jnp.zeros((p_cap,), jnp.int32)
+    for code, (flag, cap, width) in enumerate(
+        [(f16, m16, W16), (f64, m64, W64), (f256, m256, W256)]
+    ):
+        bpid = jnp.cumsum(flag.astype(jnp.int32)) - 1
+        nrows = jnp.maximum(jnp.where(jnp.any(flag), bpid[-1] + 1, 0), 0)
+        overflow = overflow | (nrows > cap)
+        bcode = jnp.where(flag, code, bcode)
+        rowof = jnp.where(flag, jnp.minimum(bpid, cap - 1), rowof)
+        btgt = jnp.where(flag, jnp.minimum(bpid, cap - 1), cap)
+        lens_r = jnp.zeros((cap,), jnp.int32).at[btgt].set(
+            piece_len, mode="drop"
+        )
+        src_r = jnp.full((cap,), p_cap, jnp.int32).at[btgt].set(
+            pslot, mode="drop"
+        )
+        buckets.append(dict(flag=flag, cap=cap, width=width,
+                            btgt=btgt, lens=lens_r, src=src_r))
+
+    # carry (flag, code|row, start) from piece starts along bytes
+    f_b = jnp.zeros((N,), jnp.int32).at[
+        jnp.where(live, start_b, N)
+    ].set(1, mode="drop")
+    code_pk = rowof * 4 + bcode
+    c_b = jnp.zeros((N,), jnp.int32).at[
+        jnp.where(live, start_b, N)
+    ].set(jnp.where(live, code_pk, 0), mode="drop")
+    p_b = jnp.zeros((N,), jnp.int32).at[
+        jnp.where(live, start_b, N)
+    ].set(jnp.where(live, start_b, 0), mode="drop")
+    f_f, c_f, p_f = jax.lax.associative_scan(_carry_op, (f_b, c_b, p_b))
+    byte_code = c_f & 3
+    byte_row = c_f >> 2
+    byte_off = bidx - p_f
+
+    row_bufs = []
+    for code, b in enumerate(buckets):
+        width = b["width"]
+        inb = (
+            (f_f != 0) & (byte_code == code) & (byte_off < width)
+            & (bidx < nbytes)
+        )
+        tgt = jnp.where(inb, byte_row * width + byte_off, b["cap"] * width)
+        buf = jnp.zeros((b["cap"] * width,), jnp.uint8).at[tgt].set(
+            data, mode="drop"
+        )
+        row_bufs.append(buf.reshape(b["cap"], width))
+
+    # ---- merge the miss rows -------------------------------------------
+    merged = []
+    for b, rows_buf in zip(buckets, row_bufs):
+        tok, cnt = merge_rows_local(
+            rows_buf, jnp.minimum(b["lens"], b["width"]), byte_rank,
+            pair_rows, mask=mask, pair_lut=pair_lut,
+        )
+        merged.append((tok, cnt, b))
+
+    # ---- counts and flat assembly --------------------------------------
+    counts = jnp.where(hit | fos, 1, 0)
+    for tok, cnt, b in merged:
+        counts = counts.at[b["src"]].set(cnt, mode="drop")
+    counts = jnp.where(kept, counts, 0)
+    out_pos = jnp.cumsum(counts) - counts
+    total = jnp.sum(counts)
+
+    flat = jnp.full((N,), -1, jnp.int32)
+    single = hit | fos
+    flat = flat.at[jnp.where(single, out_pos, N)].set(
+        jnp.where(fos, SENTINEL, rank), mode="drop"
+    )
+    for tok, cnt, b in merged:
+        row_out = jnp.zeros((b["cap"],), jnp.int32).at[b["btgt"]].set(
+            out_pos, mode="drop"
+        )
+        live_tok = tok >= 0
+        col_rank = jnp.cumsum(live_tok, axis=1) - 1
+        fidx = jnp.where(live_tok, row_out[:, None] + col_rank, N)
+        flat = flat.at[fidx.reshape(-1)].set(tok.reshape(-1), mode="drop")
+
+    # ---- oversize spans for host splicing ------------------------------
+    ospid = jnp.cumsum(fos.astype(jnp.int32)) - 1
+    n_os = jnp.maximum(jnp.where(jnp.any(fos), ospid[-1] + 1, 0), 0)
+    overflow = overflow | (n_os > os_cap)
+    ostgt = jnp.where(fos, jnp.minimum(ospid, os_cap - 1), os_cap)
+    os_start = jnp.zeros((os_cap,), jnp.int32).at[ostgt].set(
+        start_b, mode="drop"
+    )
+    os_len = jnp.zeros((os_cap,), jnp.int32).at[ostgt].set(
+        piece_len, mode="drop"
+    )
+
+    return (flat, total, n_pieces, n_kept, consumed, overflow,
+            os_start, os_len, n_os)

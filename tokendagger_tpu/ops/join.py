@@ -1,0 +1,177 @@
+r"""Whole-piece vocab lookup as a gather-free sort-merge join.
+
+The reference resolves most pretokens with a single hash lookup of the
+whole piece (/root/reference/src/tiktoken/tiktoken.cpp:210-215, mirroring
+tiktoken's own ``piece in ranks`` fast path) — on natural language ~100%
+of pieces are vocab tokens, so the BPE merge loop runs only on misses.
+
+On TPU, hash probing is the wrong shape: random gathers are latency-bound
+(~1e8 accesses/s measured on v5e, regardless of table size), while sorts
+and scans stream at GB/s. This module therefore performs the lookup as a
+**sort-merge join**, built entirely from TPU-fast primitives:
+
+  1. pieces are keyed by their zero-padded first 16 bytes (4 uint32 words,
+     computed by elementwise sliding-window packs + one monotone scatter
+     per word — no gathers) plus the byte length;
+  2. the query keys are concatenated with the precompiled vocab keys
+     (tables.DeviceTables.vocab_keys) and sorted once (stable, vocab
+     first);
+  3. ranks propagate to equal-keyed queries with a segmented max-scan
+     (jax.lax.associative_scan);
+  4. a second small sort restores piece order.
+
+Pieces that miss (rank -1) — non-vocab pieces and pieces > 16 bytes — go
+to the row-parallel merge loop (ops/merge.py); byte-identical ids either
+way, because a whole-piece hit is exactly what the sequential algorithm
+would produce.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_PAY_SENTINEL = jnp.int32(0x7FFFFFFF)
+
+
+def sliding_words(data: jnp.ndarray, nbytes: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
+    """Four (N,) uint32 arrays: w[j][i] = bytes i+4j .. i+4j+3 of the
+    stream, little-endian, zero beyond ``nbytes``. Pure elementwise."""
+    N = data.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    d = jnp.where(idx < nbytes, data, 0).astype(jnp.uint32)
+
+    def shifted(k: int) -> jnp.ndarray:
+        if k == 0:
+            return d
+        return jnp.concatenate([d[k:], jnp.zeros((k,), jnp.uint32)])
+
+    w0 = d | (shifted(1) << 8) | (shifted(2) << 16) | (shifted(3) << 24)
+
+    def word_at(j: int) -> jnp.ndarray:
+        if j == 0:
+            return w0
+        return jnp.concatenate([w0[j:], jnp.zeros((j,), jnp.uint32)])
+
+    return word_at(0), word_at(4), word_at(8), word_at(12)
+
+
+@partial(jax.jit, static_argnames=("p_cap",))
+def compact_piece_keys(
+    starts_char: jnp.ndarray,   # (N,) bool: char-level piece-start flags
+    byte_of_char: jnp.ndarray,  # (N,) int32 char -> byte (padded with nbytes)
+    data: jnp.ndarray,          # (N,) uint8 raw stream
+    nbytes: jnp.ndarray,        # scalar int32
+    p_cap: int,
+):
+    """Compact piece starts into fixed-capacity per-piece arrays, carrying
+    the join key words along. Monotone scatters only.
+
+    Returns (start_b, piece_len, k0..k3, n_pieces); slots >= n_pieces are
+    padded with start_b = nbytes, len 0, keys 0xFFFFFFFF. If
+    n_pieces > p_cap the caller must fall back (keys are truncated)."""
+    N = starts_char.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+
+    # byte-level start mask (char positions scatter to their byte offsets)
+    tgt_b = jnp.where(starts_char, byte_of_char, N)
+    is_start = (
+        jnp.zeros((N,), jnp.bool_).at[tgt_b].set(True, mode="drop")
+        & (idx < nbytes)
+    )
+    pid = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    n_pieces = jnp.maximum(pid[-1] + 1, 0)
+
+    tgt = jnp.where(is_start, jnp.minimum(pid, p_cap - 1), p_cap)
+
+    def comp(vals: jnp.ndarray, fill) -> jnp.ndarray:
+        return jnp.full((p_cap,), fill, vals.dtype).at[tgt].set(
+            vals, mode="drop"
+        )
+
+    start_b = comp(idx, 0x7FFFFFFF)
+    w0, w4, w8, w12 = sliding_words(data, nbytes)
+    k0 = comp(w0, jnp.uint32(0xFFFFFFFF))
+    k1 = comp(w4, jnp.uint32(0xFFFFFFFF))
+    k2 = comp(w8, jnp.uint32(0xFFFFFFFF))
+    k3 = comp(w12, jnp.uint32(0xFFFFFFFF))
+
+    # piece end = next piece's start (last piece ends at nbytes)
+    pslot = jnp.arange(p_cap, dtype=jnp.int32)
+    nxt_start = jnp.concatenate([start_b[1:], jnp.zeros((1,), start_b.dtype)])
+    end_b = jnp.where(pslot == n_pieces - 1, nbytes, nxt_start)
+    piece_len = jnp.where(pslot < n_pieces, end_b - start_b, 0)
+    start_b = jnp.where(pslot < n_pieces, start_b, nbytes)
+
+    # zero key bytes beyond the piece length (word j covers bytes 4j..4j+3)
+    def mask_word(k: jnp.ndarray, j: int) -> jnp.ndarray:
+        r = jnp.clip(piece_len - 4 * j, 0, 4)
+        m = jnp.where(
+            r >= 4,
+            jnp.uint32(0xFFFFFFFF),
+            (jnp.uint32(1) << (jnp.uint32(8) * r.astype(jnp.uint32)))
+            - jnp.uint32(1),
+        )
+        return k & m
+
+    k0 = mask_word(k0, 0)
+    k1 = mask_word(k1, 1)
+    k2 = mask_word(k2, 2)
+    k3 = mask_word(k3, 3)
+    return start_b, piece_len, k0, k1, k2, k3, n_pieces
+
+
+def _seg_fill_op(x, y):
+    """Segmented forward max-fill: (break, value) pairs; a break discards
+    everything to its left. Associative."""
+    bx, vx = x
+    by, vy = y
+    return bx | by, jnp.where(by != 0, vy, jnp.maximum(vx, vy))
+
+
+@jax.jit
+def vocab_join(
+    qk0: jnp.ndarray, qk1: jnp.ndarray, qk2: jnp.ndarray, qk3: jnp.ndarray,
+    qlen: jnp.ndarray,          # (P,) int32 piece byte lengths
+    vk: jnp.ndarray,            # (V, 4) uint32 vocab key words
+    vlen: jnp.ndarray,          # (V,) int32
+    vrank: jnp.ndarray,         # (V,) int32
+) -> jnp.ndarray:
+    """Rank of each query piece's exact whole-bytes vocab match, -1 on
+    miss. One stable 7-operand sort + segmented scan + one 2-operand sort;
+    no random gathers."""
+    P = qk0.shape[0]
+    V = vk.shape[0]
+
+    k0 = jnp.concatenate([vk[:, 0], qk0])
+    k1 = jnp.concatenate([vk[:, 1], qk1])
+    k2 = jnp.concatenate([vk[:, 2], qk2])
+    k3 = jnp.concatenate([vk[:, 3], qk3])
+    kl = jnp.concatenate([vlen, qlen]).astype(jnp.int32)
+    val = jnp.concatenate([vrank, jnp.full((P,), -1, jnp.int32)])
+    pay = jnp.concatenate(
+        [jnp.full((V,), _PAY_SENTINEL), jnp.arange(P, dtype=jnp.int32)]
+    )
+
+    k0s, k1s, k2s, k3s, kls, vals, pays = jax.lax.sort(
+        (k0, k1, k2, k3, kl, val, pay), num_keys=5, is_stable=True
+    )
+
+    def neq_prev(a):
+        return jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), a[1:] != a[:-1]]
+        )
+
+    brk = (
+        neq_prev(k0s) | neq_prev(k1s) | neq_prev(k2s) | neq_prev(k3s)
+        | neq_prev(kls)
+    ).astype(jnp.int32)
+
+    _, filled = jax.lax.associative_scan(_seg_fill_op, (brk, vals))
+
+    # restore piece order: query payloads are unique 0..P-1, vocab entries
+    # carry the sentinel and sort to the back
+    _, res = jax.lax.sort((pays, filled), num_keys=1)
+    return res[:P]

@@ -70,18 +70,24 @@ def merge_rows_local(
     rows: jnp.ndarray,       # pair table rows (nb, 12) int32
     *,
     mask: int,               # pair table bucket mask (static)
+    pair_lut: jnp.ndarray | None = None,  # (256, 256) int32 byte-pair ranks
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """BPE-merge every row. Returns (tok (R, C) int32 with -1 at dead slots,
-    counts (R,) int32). Live slots in slot order are the token ids."""
+    counts (R,) int32). Live slots in slot order are the token ids.
+
+    With ``pair_lut`` the first-round pair ranks come from one flat gather
+    into the 256x256 byte-pair table instead of two hash-row gathers."""
     cols = jnp.arange(byte_buf.shape[1], dtype=jnp.int32)[None, :]
     lens = lengths[:, None]
     valid = cols < lens
-    tok0 = jnp.where(valid, byte_rank[byte_buf.astype(jnp.int32)], -1)
-    pr0 = jnp.where(
-        cols < (lens - 1),
-        pair_lookup(rows, mask, tok0, jnp.roll(tok0, -1, axis=1)),
-        MAX_RANK,
-    )
+    b = byte_buf.astype(jnp.int32)
+    tok0 = jnp.where(valid, byte_rank[b], -1)
+    if pair_lut is not None:
+        b1 = jnp.roll(b, -1, axis=1)
+        pr0 = pair_lut.reshape(-1)[b * 256 + b1]
+    else:
+        pr0 = pair_lookup(rows, mask, tok0, jnp.roll(tok0, -1, axis=1))
+    pr0 = jnp.where(cols < (lens - 1), pr0, MAX_RANK)
     return merge_rows_from_state(tok0, pr0, lengths, rows, mask=mask)
 
 
@@ -94,58 +100,66 @@ def merge_rows_from_state(
     mask: int,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """The merge while-loop, starting from externally computed first-round
-    state (e.g. the Pallas MXU one-hot kernel, ops/pallas_lut.py)."""
+    state (e.g. the Pallas MXU one-hot kernel, ops/pallas_lut.py).
+
+    The body is deliberately scatter/gather-free over the row axis: every
+    per-row dynamic-index read is a one-hot masked reduction and every
+    write a one-hot masked select. XLA lowers (row, col)-indexed scatters
+    to a sequential per-update loop on TPU (~ms per iteration at R=8k,
+    measured), while the one-hot forms are pure (R, C) elementwise VPU
+    work (~µs)."""
     R, C = tok0.shape
-    END = C
-    TRASH = C + 1
+    END = C  # sentinel column index meaning "none"
     cols = jnp.arange(C, dtype=jnp.int32)[None, :]
     lens = lengths[:, None]
     valid = cols < lens
 
-    tok = jnp.concatenate([tok0, jnp.full((R, 2), -1, jnp.int32)], axis=1)
+    tok = tok0
+    nxt = jnp.where(cols < (lens - 1), cols + 1, END)
+    prv = jnp.where((cols > 0) & valid, cols - 1, END)
+    pr = pr0
 
-    has_pair = cols < (lens - 1)
-    nxt0 = jnp.where(has_pair, cols + 1, END)
-    nxt = jnp.concatenate(
-        [nxt0, jnp.full((R, 2), TRASH, jnp.int32)], axis=1
-    )
-    prv0 = jnp.where((cols > 0) & valid, cols - 1, TRASH)
-    prv = jnp.concatenate([prv0, jnp.full((R, 2), TRASH, jnp.int32)], axis=1)
-
-    pr = jnp.concatenate([pr0, jnp.full((R, 2), MAX_RANK, jnp.int32)], axis=1)
-
-    rr = jnp.arange(R, dtype=jnp.int32)
+    def sel(arr, idx):
+        """arr[r, idx[r]] per row via one-hot reduction; idx == END -> 0."""
+        return jnp.sum(
+            jnp.where(cols == idx[:, None], arr, 0), axis=1
+        ).astype(jnp.int32)
 
     def cond(state):
         return jnp.any(state[3] != MAX_RANK)
 
     def body(state):
         tok, nxt, prv, pr = state
-        b = jnp.argmin(pr, axis=1).astype(jnp.int32)  # leftmost min per row
-        v = pr[rr, b]
-        # finished rows (min == MAX) redirect all their traffic to TRASH
-        b = jnp.where(v != MAX_RANK, b, TRASH)
-        b2 = nxt[rr, b]
-        b3 = nxt[rr, b2]
-        p = prv[rr, b]
+        v = jnp.min(pr, axis=1)                        # min pair rank per row
+        b = jnp.argmin(pr, axis=1).astype(jnp.int32)   # leftmost occurrence
+        act = v != MAX_RANK                            # rows still merging
+        b2 = sel(nxt, b)                               # right part of the pair
+        b3 = jnp.where(b2 >= END, END, sel(nxt, b2))   # part after the pair
+        p = sel(prv, b)                                # part before the pair
+        t3 = jnp.where(b3 >= END, -1, sel(tok, b3))
+        tp = jnp.where(p >= END, -1, sel(tok, p))
 
-        tok = tok.at[rr, b].set(v)       # pair rank IS the merged token id
-        tok = tok.at[rr, b2].set(-1)     # right part consumed
-        nxt = nxt.at[rr, b].set(b3)
-        prv = prv.at[rr, b3].set(b)
-        pr = pr.at[rr, b2].set(MAX_RANK)
+        upd = act[:, None]
+        oh_b = upd & (cols == b[:, None])
+        oh_b2 = upd & (cols == b2[:, None])            # b2 == END -> no-op
+        oh_b3 = upd & (cols == b3[:, None])
+        oh_p = upd & (cols == p[:, None])
+
+        tok = jnp.where(oh_b, v[:, None], tok)   # pair rank IS the merged id
+        tok = jnp.where(oh_b2, -1, tok)          # right part consumed
+        nxt = jnp.where(oh_b, b3[:, None], nxt)
+        prv = jnp.where(oh_b3, b[:, None], prv)
         # refresh the two pairs adjacent to the merge site
-        pr = pr.at[rr, b].set(pair_lookup(rows, mask, v, tok[rr, b3]))
-        pr = pr.at[rr, p].set(pair_lookup(rows, mask, tok[rr, p], v))
-        # re-clear sentinel columns (finished rows scribble on TRASH)
-        pr = pr.at[:, END:].set(MAX_RANK)
-        tok = tok.at[:, END:].set(-1)
+        pr_b = pair_lookup(rows, mask, v, t3)
+        pr_p = pair_lookup(rows, mask, tp, v)
+        pr = jnp.where(oh_b2, MAX_RANK, pr)
+        pr = jnp.where(oh_b, pr_b[:, None], pr)
+        pr = jnp.where(oh_p, pr_p[:, None], pr)
         return tok, nxt, prv, pr
 
     tok, nxt, prv, pr = jax.lax.while_loop(cond, body, (tok, nxt, prv, pr))
-    out = tok[:, :C]
-    counts = jnp.sum(out >= 0, axis=1, dtype=jnp.int32)
-    return out, counts
+    counts = jnp.sum(tok >= 0, axis=1, dtype=jnp.int32)
+    return tok, counts
 
 
 @partial(jax.jit, static_argnames=("mask",))

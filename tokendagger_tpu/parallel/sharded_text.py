@@ -233,7 +233,13 @@ class ShardedTextEncoder:
         if not device_engine.stream:
             raise ValueError(
                 "ShardedTextEncoder requires a stream-capable DeviceEngine "
-                "(supported pattern profile + merge-reachable vocab)"
+                "(supported pattern profile, no rank-less bytes)"
+            )
+        if not device_engine.tables.all_reachable:
+            # the sharded kernel is merge-only (no whole-piece join), which
+            # matches tiktoken's lookup-then-merge only for reachable vocabs
+            raise ValueError(
+                "ShardedTextEncoder requires a merge-reachable vocab"
             )
         self.eng = device_engine
         self.mesh = mesh

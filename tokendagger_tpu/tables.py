@@ -129,6 +129,14 @@ class DeviceTables:
     # whole-piece-lookup-then-merge; when it doesn't, merge-only paths must
     # be disabled (tiktoken's fast path would win on unreachable tokens).
     all_reachable: bool
+    # Whole-piece sort-join keys: every vocab token of <= 16 bytes, packed
+    # as 4 little-endian uint32 words (zero-padded) + byte length + rank.
+    # The device join (ops/join.py) sorts query pieces against these —
+    # random-gather-free, which is what the TPU wants (sorts stream at
+    # GB/s; gathers are latency-bound at ~1e8/s, measured on v5e).
+    vocab_keys: np.ndarray       # (V, 4) uint32
+    vocab_lens: np.ndarray       # (V,) int32
+    vocab_ranks: np.ndarray      # (V,) int32
 
 
 def _vocab_digest(ranks: dict[bytes, int], special_tokens: dict[str, int]) -> str:
@@ -155,8 +163,8 @@ def build_tables(
     use_cache: bool = True,
 ) -> DeviceTables:
     special_tokens = special_tokens or {}
-    # v4: dropped the unused monotonic field (bump on schema changes)
-    cache_path = _cache_dir() / f"tables_v4_{_vocab_digest(ranks, special_tokens)}.npz"
+    # v5: added whole-piece sort-join vocab keys (bump on schema changes)
+    cache_path = _cache_dir() / f"tables_v5_{_vocab_digest(ranks, special_tokens)}.npz"
     if use_cache and cache_path.exists():
         z = np.load(cache_path)
         return DeviceTables(
@@ -168,6 +176,9 @@ def build_tables(
             decode_blob=z["decode_blob"],
             n_vocab=int(z["n_vocab"]),
             all_reachable=bool(z["all_reachable"]),
+            vocab_keys=z["vocab_keys"],
+            vocab_lens=z["vocab_lens"],
+            vocab_ranks=z["vocab_ranks"],
         )
 
     # --- pair-merge relation: every 2-split of every vocab token -----------
@@ -223,6 +234,19 @@ def build_tables(
         off += len(sb)
     decode_blob = np.frombuffer(b"".join(blob_parts), dtype=np.uint8).copy()
 
+    # --- whole-piece join keys (tokens <= 16 bytes; covers ~97% of the
+    # Llama-4 vocab and ~100% of natural-language pieces) ------------------
+    short = [(tb, rank) for tb, rank in ranks.items() if len(tb) <= 16]
+    V = len(short)
+    kbuf = np.zeros((V, 16), dtype=np.uint8)
+    vocab_lens = np.zeros(V, dtype=np.int32)
+    vocab_ranks = np.zeros(V, dtype=np.int32)
+    for i, (tb, rank) in enumerate(short):
+        kbuf[i, : len(tb)] = np.frombuffer(tb, dtype=np.uint8)
+        vocab_lens[i] = len(tb)
+        vocab_ranks[i] = rank
+    vocab_keys = kbuf.view("<u4").reshape(V, 4)
+
     # --- merge-reachability audit ------------------------------------------
     from .hostengine import byte_pair_encode
 
@@ -243,6 +267,9 @@ def build_tables(
         decode_blob=decode_blob,
         n_vocab=n_ids,
         all_reachable=all_reachable,
+        vocab_keys=vocab_keys,
+        vocab_lens=vocab_lens,
+        vocab_ranks=vocab_ranks,
     )
     if use_cache:
         tmp = cache_path.with_suffix(f".tmp{os.getpid()}.npz")
@@ -258,6 +285,9 @@ def build_tables(
             decode_blob=decode_blob,
             n_vocab=n_ids,
             all_reachable=all_reachable,
+            vocab_keys=vocab_keys,
+            vocab_lens=vocab_lens,
+            vocab_ranks=vocab_ranks,
         )
         os.replace(tmp, cache_path)
     return tables
