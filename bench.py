@@ -92,21 +92,71 @@ def _measure(tok, chunks, n_bytes, runs, num_threads):
     return best
 
 
+def _corpus_cached(n_bytes: int) -> str:
+    """Disk-cached synthetic corpus (generation is the slow part at the
+    reference-scale default sizes)."""
+    cache = Path(__file__).resolve().parent / "results"
+    cache.mkdir(exist_ok=True)
+    p = cache / f"corpus_{n_bytes}.txt"
+    if p.exists() and p.stat().st_size == n_bytes:
+        return p.read_text(encoding="utf-8")
+    c = make_corpus(n_bytes)
+    try:
+        p.write_text(c, encoding="utf-8")
+    except OSError:
+        pass
+    return c
+
+
+def device_resident_main(args) -> None:
+    """--backend tpu-resident: kernel throughput with device-staged data
+    (run in a subprocess by `best` mode; see tokendagger_tpu/resident.py)."""
+    from tokendagger_tpu import vocab
+    from tokendagger_tpu.resident import run_resident
+
+    model = REFERENCE / "src" / "tokenizer.model"
+    ranks = vocab.load_tiktoken_model(model)
+    config = REFERENCE / "src" / "tokenizer_config.json"
+    specials = vocab.load_hf_special_tokens(config) if config.exists() else {}
+    corpus = _corpus_cached(int(args.mb * 1024 * 1024)).encode()
+    res = run_resident(
+        ranks, specials, vocab.LLAMA4_PATTERN, corpus,
+        window=args.window, reps=args.runs + 2,
+    )
+    print(json.dumps({
+        "metric": "tpu_kernel_throughput_llama4",
+        "value": res.kernel_mbps,
+        "unit": "MB/s",
+        "vs_baseline": round(res.kernel_mbps / BASELINE_MBPS, 3),
+        "detail": res.to_dict(),
+    }))
+
+
 def main() -> None:
     import os
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mb", type=float, default=8.0, help="corpus size in MB")
+    ap.add_argument("--mb", type=float, default=None, help="corpus size in MB")
     ap.add_argument("--backend", default="best",
-                    choices=["best", "auto", "host", "tpu"])
+                    choices=["best", "auto", "host", "tpu", "tpu-resident"])
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--chunk-kb", type=int, default=256)
+    ap.add_argument("--window", type=int, default=1 << 20,
+                    help="tpu-resident window bytes")
     ap.add_argument("--threads", type=int,
                     default=min(32, os.cpu_count() or 8))
     args = ap.parse_args()
+    if args.mb is None:
+        # reference protocol default is 1 GB; 256 MB keeps a full best-mode
+        # run (host sweep + tpu probes) inside the driver budget
+        args.mb = 4.0 if args.backend == "tpu-resident" else 256.0
+
+    if args.backend == "tpu-resident":
+        device_resident_main(args)
+        return
 
     n_bytes = int(args.mb * 1024 * 1024)
-    corpus = make_corpus(n_bytes)
+    corpus = _corpus_cached(n_bytes)
     chunk = args.chunk_kb * 1024
     chunks = [corpus[i : i + chunk] for i in range(0, len(corpus), chunk)]
 
@@ -153,22 +203,41 @@ def main() -> None:
             detail["host_np_mbps"] = round(best_np, 2)
         except Exception:  # noqa: BLE001
             pass
-        # TPU measurement runs in a subprocess with a hard timeout: the
+        # TPU measurements run in subprocesses with hard timeouts: the
         # remote-TPU tunnel on this machine can wedge mid-compile, and a
         # hung probe must not take the whole benchmark down with it.
+        def probe(cmd, timeout):
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=timeout)
+            line = out.stdout.strip().splitlines()[-1] if out.stdout else ""
+            return json.loads(line) if line.startswith("{") else None
+
         tpu_mbps = 0.0
         try:
-            out = subprocess.run(
-                [sys.executable, __file__, "--backend", "tpu",
-                 "--mb", str(min(args.mb, 2.0)), "--runs", "1",
-                 "--chunk-kb", str(args.chunk_kb)],
-                capture_output=True, text=True, timeout=420,
-            )
-            line = out.stdout.strip().splitlines()[-1] if out.stdout else ""
-            tpu_mbps = float(json.loads(line)["value"]) if line else 0.0
+            r = probe([sys.executable, __file__, "--backend", "tpu",
+                       "--mb", str(min(args.mb, 2.0)), "--runs", "1",
+                       "--chunk-kb", str(args.chunk_kb)], 420)
+            tpu_mbps = float(r["value"]) if r else 0.0
             detail["tpu_mbps"] = round(tpu_mbps, 2)
         except Exception as e:  # noqa: BLE001 - no accelerator / hang / error
             detail["tpu_error"] = str(e)[:120]
+        # device-resident kernel throughput (data staged on device once;
+        # excludes the tunnel). Retried because the link quality varies.
+        try:
+            best_res = None
+            for _ in range(2):
+                r = probe([sys.executable, __file__,
+                           "--backend", "tpu-resident"], 900)
+                if r and (best_res is None
+                          or r["value"] > best_res["value"]):
+                    best_res = r
+                if r and r["detail"]["calibration_ms"] < 1.0:
+                    break  # healthy link; no need to re-probe
+            if best_res:
+                detail["tpu_kernel_mbps"] = best_res["value"]
+                detail["tpu_kernel"] = best_res["detail"]
+        except Exception as e:  # noqa: BLE001
+            detail["tpu_resident_error"] = str(e)[:120]
         best = max(host_mbps, tpu_mbps)
         detail["winner"] = "tpu" if tpu_mbps > host_mbps else "host"
     else:

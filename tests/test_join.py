@@ -1,0 +1,92 @@
+"""Whole-piece lookup (sort-join + hash probe) vs the dict oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tokendagger_tpu import LLAMA4_PATTERN
+from tokendagger_tpu.engine import DeviceEngine
+from tokendagger_tpu.hostengine import HostEngine
+from tokendagger_tpu.ops.join import (
+    vocab_join,
+    vocab_probe,
+    vocab_probe_np,
+)
+from tokendagger_tpu.tables import build_tables
+
+
+def _keys_for(pieces: list[bytes]):
+    P = len(pieces)
+    buf = np.zeros((P, 16), np.uint8)
+    lens = np.zeros(P, np.int32)
+    for i, p in enumerate(pieces):
+        buf[i, : min(16, len(p))] = np.frombuffer(p[:16], np.uint8)
+        lens[i] = len(p)
+    return buf.view("<u4").reshape(P, 4), lens
+
+
+@pytest.fixture(scope="module")
+def llama_tables(llama4_assets):
+    _, ranks, specials = llama4_assets
+    return ranks, build_tables(ranks, specials)
+
+
+def _query_pieces(ranks):
+    rng = np.random.default_rng(7)
+    vocab_list = list(ranks)
+    pieces = [vocab_list[int(i)] for i in rng.integers(0, len(ranks), 400)]
+    pieces += [b"zzqxj", b"\x00", b"a\x00", b"a\x00b", b" \x00",
+               bytes(rng.integers(0, 256, 7, dtype=np.uint8)),
+               b"x" * 17, b"hello world this is long"]
+    # trailing-NUL ambiguity probes: piece == vocab token + b"\0"
+    pieces += [vocab_list[3] + b"\x00", vocab_list[100][:1] + b"\x00"]
+    return pieces
+
+
+def test_probe_matches_dict_and_numpy(llama_tables):
+    ranks, t = llama_tables
+    pieces = _query_pieces(ranks)
+    qk, qlens = _keys_for(pieces)
+    want = np.array(
+        [ranks.get(p, -1) if len(p) <= 16 else -1 for p in pieces],
+        np.int32,
+    )
+    got_np = vocab_probe_np(qk, qlens, t.vhash_rows, t.vhash_mask)
+    assert (got_np == want).all()
+    got = np.asarray(vocab_probe(
+        jnp.asarray(qk[:, 0]), jnp.asarray(qk[:, 1]), jnp.asarray(qk[:, 2]),
+        jnp.asarray(qk[:, 3]), jnp.asarray(qlens),
+        jnp.asarray(t.vhash_rows), t.vhash_mask,
+    ))
+    assert (got == want).all()
+
+
+def test_sort_join_matches_dict(llama_tables):
+    ranks, t = llama_tables
+    pieces = _query_pieces(ranks)
+    qk, qlens = _keys_for(pieces)
+    want = np.array(
+        [ranks.get(p, -1) if len(p) <= 16 else -1 for p in pieces],
+        np.int32,
+    )
+    got = np.asarray(vocab_join(
+        jnp.asarray(qk[:, 0]), jnp.asarray(qk[:, 1]), jnp.asarray(qk[:, 2]),
+        jnp.asarray(qk[:, 3]), jnp.asarray(qlens),
+        jnp.asarray(t.vocab_keys), jnp.asarray(t.vocab_lens),
+        jnp.asarray(t.vocab_ranks),
+    ))
+    assert (got == want).all()
+
+
+@pytest.mark.parametrize("mode", ["probe", "sort"])
+def test_stream_both_join_modes(llama4_assets, mode):
+    pattern, ranks, specials = llama4_assets
+    eng = DeviceEngine(pattern, ranks, specials)
+    eng.join_mode = mode
+    host = HostEngine(pattern, ranks, specials)
+    text = ("The quick brown fox. " * 200
+            + "unusualqzident_42 __x9 " * 30
+            + "=" * 300 + "\n日本語 🙂 " * 50)
+    got = eng.encode_stream(text.encode())
+    assert got.tolist() == host.encode_ordinary(text)

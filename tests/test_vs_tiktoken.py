@@ -195,3 +195,65 @@ def main() -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+class TestSpecialScanFast:
+    """Single-pass special scanner (VERDICT r1 item 8): exact vs tiktoken
+    on special-dense and near-miss text, and not pathologically slower
+    than encode_ordinary."""
+
+    def test_sprinkled_specials_match_tiktoken(self, llama4_assets):
+        import random
+
+        import tiktoken
+
+        import tokendagger_tpu as td
+
+        pattern, ranks, specials = llama4_assets
+        enc = td.Encoding("s", pat_str=pattern, mergeable_ranks=ranks,
+                          special_tokens=specials)
+        tk = tiktoken.Encoding("s", pat_str=pattern, mergeable_ranks=ranks,
+                               special_tokens=specials)
+        rng = random.Random(5)
+        names = list(specials)
+        base = "word soup text here. " * 2000
+        parts, i = [], 0
+        while i < len(base):
+            j = i + rng.randint(50, 400)
+            parts.append(base[i:j])
+            parts.append(rng.choice(
+                [rng.choice(names), "<|", "<|nope|>", "<|end", "||", "<"]
+            ))
+            i = j
+        text = "".join(parts)
+        assert (enc.encode(text, allowed_special="all")
+                == tk.encode(text, allowed_special="all"))
+        # subset-allowed: remaining specials are ordinary text
+        subset = set(names[:5])
+        assert (enc.encode(text, allowed_special=subset,
+                           disallowed_special=())
+                == tk.encode(text, allowed_special=subset,
+                             disallowed_special=()))
+
+    @pytest.mark.slow
+    def test_allowed_all_overhead_bounded(self, llama4_assets):
+        import time
+
+        import tokendagger_tpu as td
+
+        pattern, ranks, specials = llama4_assets
+        enc = td.Encoding("s", pat_str=pattern, mergeable_ranks=ranks,
+                          special_tokens=specials)
+        text = "the quick brown fox jumps over the lazy dog. " * 20000
+        enc.encode_ordinary(text[:500])
+        enc.encode(text[:500], allowed_special="all")
+        t0 = time.perf_counter()
+        a = enc.encode_ordinary(text)
+        t_ord = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        b = enc.encode(text, allowed_special="all")
+        t_all = time.perf_counter() - t0
+        assert a == b
+        # 1,134 specials must not multiply the scan cost (was O(n_specials
+        # * text)); generous 2x bound to stay robust on loaded machines
+        assert t_all < 2.0 * t_ord + 0.05

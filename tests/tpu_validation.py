@@ -1,0 +1,92 @@
+"""Real-TPU validation script: runs the fused device pipeline on the live
+chip and checks bit-exactness against the host oracle, dumping per-stage
+timings. Invoked by test_tpu_hardware.py (pytest -m tpu) or directly:
+
+    timeout 900 python tests/tpu_validation.py
+
+Exit code 0 iff every slice is bit-identical. Writes
+results/tpu_validation.json (the reproducible artifact backing the
+ARCHITECTURE.md real-TPU claim — VERDICT r1 item 5).
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+REFERENCE = Path("/root/reference")
+
+
+def main() -> int:
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        print(json.dumps({"skipped": f"backend={jax.default_backend()}"}))
+        return 2
+
+    from bench import make_corpus
+    from tokendagger_tpu import vocab
+    from tokendagger_tpu.engine import DeviceEngine
+    from tokendagger_tpu.hostengine import HostEngine
+
+    ranks = vocab.load_tiktoken_model(REFERENCE / "src" / "tokenizer.model")
+    specials = vocab.load_hf_special_tokens(
+        REFERENCE / "src" / "tokenizer_config.json"
+    )
+    eng = DeviceEngine(vocab.LLAMA4_PATTERN, ranks, specials)
+    host = HostEngine(vocab.LLAMA4_PATTERN, ranks, specials)
+    assert eng.stream and jax.default_backend() != "cpu"
+
+    slices = {
+        "lorem": (REFERENCE / "tests/input/lorem.txt").read_text()[:65536],
+        "emoji": (REFERENCE / "tests/input/emoji.txt").read_text()[:32768],
+        "english": make_corpus(1 << 20),
+        "mixed": ("def f(x):\n    return x**2  # comment\n" * 300
+                  + "日本語テキスト 🙂🇺🇸 " * 200 + "=" * 400 + " end"),
+    }
+    report = {"backend": jax.default_backend(), "cases": {}}
+    ok = True
+    for name, text in slices.items():
+        data = text.encode()
+        t0 = time.perf_counter()
+        want = host.encode_ordinary(text)
+        t_host = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        got = eng.encode_stream(data)  # includes compile on first case
+        t_dev = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        got2 = eng.encode_stream(data)  # warm
+        t_dev_warm = time.perf_counter() - t0
+        match = got.tolist() == want and got2.tolist() == want
+        ok &= match
+        report["cases"][name] = {
+            "bytes": len(data),
+            "tokens": len(want),
+            "match": match,
+            "host_s": round(t_host, 3),
+            "device_first_s": round(t_dev, 3),
+            "device_warm_s": round(t_dev_warm, 3),
+        }
+        print(f"{name}: match={match} warm={t_dev_warm:.3f}s", flush=True)
+
+    # device-resident kernel timing (excludes tunnel; per-stage)
+    from tokendagger_tpu.resident import run_resident
+
+    res = run_resident(ranks, specials, vocab.LLAMA4_PATTERN,
+                       make_corpus(1 << 21).encode(), window=1 << 20,
+                       reps=3, trials=2)
+    report["resident"] = res.to_dict()
+    ok &= res.match_host
+
+    out = REPO / "results" / "tpu_validation.json"
+    out.parent.mkdir(exist_ok=True)
+    out.write_text(json.dumps(report, indent=2))
+    print(json.dumps({"ok": ok, "kernel_mbps": res.kernel_mbps,
+                      "calibration_ms": res.calibration_ms}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

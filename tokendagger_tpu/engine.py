@@ -130,6 +130,8 @@ class DeviceEngine:
             self._vk = jnp.asarray(self.tables.vocab_keys)
             self._vlen = jnp.asarray(self.tables.vocab_lens)
             self._vrank = jnp.asarray(self.tables.vocab_ranks)
+            self._vhash_rows = jnp.asarray(self.tables.vhash_rows)
+            self.join_mode = "probe"
             # the CPU backend's compile time scales with shape; keep its
             # scan windows small (the CPU device path exists for tests) and
             # never grow them (a 1 MB-shape CPU compile can take minutes) —
@@ -357,8 +359,10 @@ class DeviceEngine:
             resolve_window(
                 starts, boc, dev, nb, jnp.int32(trim),
                 self._byte_rank, self._pair_rows, self._pair_lut,
-                self._vk, self._vlen, self._vrank,
-                mask=self._pair_mask, **caps_for(N),
+                self._vk, self._vlen, self._vrank, self._vhash_rows,
+                mask=self._pair_mask,
+                vhash_mask=self.tables.vhash_mask,
+                join_mode=self.join_mode, **caps_for(N),
             )
         )
         if bool(overflow):

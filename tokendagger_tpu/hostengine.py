@@ -107,6 +107,13 @@ class HostEngine:
         self._specials_by_len = sorted(
             self.special_tokens, key=len, reverse=True
         )
+        # Single-pass scan support: distinct leading bigrams and distinct
+        # lengths of the special vocabulary (for Llama-4's 1,134 specials
+        # both collapse to almost nothing: one bigram "<|", ~30 lengths).
+        self._special_prefixes = {t[:2] for t in self.special_tokens}
+        self._special_lengths = sorted(
+            {len(t) for t in self.special_tokens}, reverse=True
+        )
 
     # ------------------------------------------------------------------
     # Pretokenization
@@ -219,26 +226,70 @@ class HostEngine:
         tokens, _ = self.encode(text, set(self.special_tokens))
         return tokens
 
+    def find_all_specials(
+        self, text: str, allowed: AbstractSet[str]
+    ) -> list[tuple[int, str]]:
+        """All non-overlapping allowed-special occurrences in document
+        order (leftmost match wins; same-position ties go to the longest
+        token) — identical selection to the reference's cached per-token
+        find loop (tiktoken.cpp:130-154), but computed in a single pass:
+        one ``str.find`` sweep per *distinct leading bigram* of the
+        allowed set (typically just "<|") yields candidate positions, and
+        each candidate is resolved with one hash lookup per distinct
+        special length. O(text + candidates) instead of
+        O(|allowed| * text)."""
+        positions: list[int] = []
+        prefixes = (
+            self._special_prefixes
+            if len(allowed) == len(self.special_tokens)
+            else {t[:2] for t in allowed}
+        )
+        for pre in prefixes:
+            p = text.find(pre)
+            while p != -1:
+                positions.append(p)
+                p = text.find(pre, p + 1)
+        if not positions:
+            return []
+        positions.sort()
+        lengths = (
+            self._special_lengths
+            if len(allowed) == len(self.special_tokens)
+            else sorted({len(t) for t in allowed}, reverse=True)
+        )
+        if not isinstance(allowed, (set, frozenset)):
+            allowed = set(allowed)
+        out: list[tuple[int, str]] = []
+        last_end = 0
+        prev = -1
+        for p in positions:
+            if p < last_end or p == prev:
+                continue
+            prev = p
+            for L in lengths:
+                cand = text[p : p + L]
+                if len(cand) == L and cand in allowed:
+                    out.append((p, cand))
+                    last_end = p + L
+                    break
+        return out
+
     def split_specials(self, text: str, allowed: AbstractSet[str]):
         """Yield (segment_text, None) / ("", special_id) in document order,
-        with the cached-position scan semantics of the reference
-        (tiktoken.cpp:130-154). Raises KeyError on unknown allowed token."""
+        matching the cached-position scan semantics of the reference
+        (tiktoken.cpp:130-154) via the single-pass scanner above. Raises
+        KeyError on unknown allowed token."""
         for tok in allowed:
             if tok not in self.special_tokens:
                 raise KeyError(f"Unknown special token: {tok!r}")
-        allowed_sorted = [t for t in self._specials_by_len if t in allowed]
-        cache: dict[str, int] = {}
         start = 0
-        n = len(text)
-        while start <= n:
-            pos, tok = self._find_next_special(text, start, allowed_sorted, cache)
-            end = pos if pos != -1 else n
-            if start < end:
-                yield text[start:end], None
-            if tok is None:
-                return
+        for pos, tok in self.find_all_specials(text, allowed):
+            if start < pos:
+                yield text[start:pos], None
             yield "", self.special_tokens[tok]
-            start = end + len(tok)
+            start = pos + len(tok)
+        if start < len(text):
+            yield text[start:], None
 
     # ------------------------------------------------------------------
     # Decoding

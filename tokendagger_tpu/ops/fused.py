@@ -5,16 +5,19 @@ starts) plus the raw byte window and produces the final flat token ids on
 device — no host round-trips between pretokenization and ids:
 
   piece keys (elementwise + monotone scatters, ops/join.py)
-    -> whole-piece vocab sort-join  (~100% of natural-language pieces hit)
-    -> misses scatter-packed into width-bucketed rows (16/64/256) and
-       merged by the row-parallel loop (ops/merge.py)
+    -> whole-piece vocab lookup (hash probe by default; sort-join kept
+       for runtimes with healthy device sorts) — ~100% of
+       natural-language pieces hit
+    -> misses compacted into width-bucketed rows (16/64/256), gathered
+       from the stream and merged by the row-parallel loop (ops/merge.py)
     -> pieces wider than 256 bytes emit a SENTINEL id for host splicing
     -> flat assembly via cumsum + monotone scatters
 
-Every data-dependent movement is a sort, a scan, or a scatter with
-monotonically increasing indices — the primitives measured fast on TPU —
-and the only random gathers left are the merge loop's pair-table probes,
-which run on the (rare) miss rows only.
+Kernel-choice rule learned the hard way on this machine's remote-TPU
+runtime: lax.sort, lax.associative_scan, and cumsum-feeding-gather
+programs permanently degrade every subsequent dispatch (~400x); plain
+gathers, scatters, reductions, elementwise chains, and while_loops are
+fast and safe, so everything here is built from the latter set.
 
 Trim semantics: pieces ending after ``trim`` (the windowed safe cut,
 engine._safe_cut_threshold) are dropped on device and re-scanned by the
@@ -30,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .join import compact_piece_keys, vocab_join
+from .join import compact_piece_keys, vocab_join, vocab_probe
 from .merge import merge_rows_local
 
 SENTINEL = np.int32(2**31 - 2)  # flat-stream marker for an oversize piece
@@ -52,17 +55,12 @@ def caps_for(n: int) -> dict[str, int]:
     )
 
 
-def _carry_op(x, y):
-    """'Last written value at or before me' fill; associative."""
-    fx, cx, px = x
-    fy, cy, py = y
-    take = fy != 0
-    return fx | fy, jnp.where(take, cy, cx), jnp.where(take, py, px)
-
-
 @partial(
     jax.jit,
-    static_argnames=("p_cap", "m16", "m64", "m256", "os_cap", "mask"),
+    static_argnames=(
+        "p_cap", "m16", "m64", "m256", "os_cap", "mask", "vhash_mask",
+        "join_mode",
+    ),
 )
 def resolve_window(
     starts_char: jnp.ndarray,   # (N,) bool char-level piece starts
@@ -74,8 +72,10 @@ def resolve_window(
     pair_rows: jnp.ndarray,
     pair_lut: jnp.ndarray,
     vk: jnp.ndarray, vlen: jnp.ndarray, vrank: jnp.ndarray,
+    vhash_rows: jnp.ndarray,
     *,
     p_cap: int, m16: int, m64: int, m256: int, os_cap: int, mask: int,
+    vhash_mask: int, join_mode: str = "probe",
 ):
     N = data.shape[0]
     bidx = jnp.arange(N, dtype=jnp.int32)
@@ -90,7 +90,15 @@ def resolve_window(
     n_kept = jnp.sum(kept.astype(jnp.int32))
     consumed = jnp.max(jnp.where(kept, end_b, 0))
 
-    rank = vocab_join(k0, k1, k2, k3, piece_len, vk, vlen, vrank)
+    # whole-piece lookup: the hash probe is the default (2 exact row
+    # gathers/piece); the sort-join is kept for runtimes with healthy
+    # device sorts (this machine's remote-TPU tunnel degrades every
+    # post-sort dispatch ~400x, so "probe" wins here).
+    if join_mode == "sort":
+        rank = vocab_join(k0, k1, k2, k3, piece_len, vk, vlen, vrank)
+    else:
+        rank = vocab_probe(k0, k1, k2, k3, piece_len, vhash_rows,
+                           vhash_mask)
     hit = kept & (rank >= 0)
     miss = kept & (rank < 0)
     f16 = miss & (piece_len <= W16)
@@ -100,59 +108,41 @@ def resolve_window(
 
     overflow = n_pieces > p_cap
 
-    # ---- scatter-pack miss rows (gather-free) ---------------------------
-    # Piece attributes are written at piece-start bytes and carried forward
-    # along the byte axis; each miss byte then knows its (bucket, row,
-    # within-piece offset) and scatters itself into the packed row buffer.
+    # ---- pack miss rows ------------------------------------------------
+    # Bucket compaction is scatter-based (monotone indices); the row bytes
+    # are then gathered directly from the stream. Direct gathers are fast
+    # on a healthy runtime — the formerly-clever byte-distribution pass
+    # (piece-id cumsum + monotone gathers) triggered the remote-TPU
+    # runtime's degraded dispatch mode, as do lax.sort/associative_scan.
     buckets = []
-    bcode = jnp.full((p_cap,), 3, jnp.int32)  # 3 = not a miss row
-    rowof = jnp.zeros((p_cap,), jnp.int32)
     for code, (flag, cap, width) in enumerate(
         [(f16, m16, W16), (f64, m64, W64), (f256, m256, W256)]
     ):
         bpid = jnp.cumsum(flag.astype(jnp.int32)) - 1
         nrows = jnp.maximum(jnp.where(jnp.any(flag), bpid[-1] + 1, 0), 0)
         overflow = overflow | (nrows > cap)
-        bcode = jnp.where(flag, code, bcode)
-        rowof = jnp.where(flag, jnp.minimum(bpid, cap - 1), rowof)
         btgt = jnp.where(flag, jnp.minimum(bpid, cap - 1), cap)
         lens_r = jnp.zeros((cap,), jnp.int32).at[btgt].set(
             piece_len, mode="drop"
         )
+        s_r = jnp.zeros((cap,), jnp.int32).at[btgt].set(
+            start_b, mode="drop"
+        )
         src_r = jnp.full((cap,), p_cap, jnp.int32).at[btgt].set(
             pslot, mode="drop"
         )
-        buckets.append(dict(flag=flag, cap=cap, width=width,
-                            btgt=btgt, lens=lens_r, src=src_r))
-
-    # carry (flag, code|row, start) from piece starts along bytes
-    f_b = jnp.zeros((N,), jnp.int32).at[
-        jnp.where(live, start_b, N)
-    ].set(1, mode="drop")
-    code_pk = rowof * 4 + bcode
-    c_b = jnp.zeros((N,), jnp.int32).at[
-        jnp.where(live, start_b, N)
-    ].set(jnp.where(live, code_pk, 0), mode="drop")
-    p_b = jnp.zeros((N,), jnp.int32).at[
-        jnp.where(live, start_b, N)
-    ].set(jnp.where(live, start_b, 0), mode="drop")
-    f_f, c_f, p_f = jax.lax.associative_scan(_carry_op, (f_b, c_b, p_b))
-    byte_code = c_f & 3
-    byte_row = c_f >> 2
-    byte_off = bidx - p_f
+        buckets.append(dict(cap=cap, width=width, btgt=btgt,
+                            lens=lens_r, starts=s_r, src=src_r))
 
     row_bufs = []
-    for code, b in enumerate(buckets):
+    for b in buckets:
         width = b["width"]
-        inb = (
-            (f_f != 0) & (byte_code == code) & (byte_off < width)
-            & (bidx < nbytes)
+        cols = jnp.arange(width, dtype=jnp.int32)[None, :]
+        gidx = jnp.clip(b["starts"][:, None] + cols, 0, N - 1)
+        rows_b = jnp.where(
+            cols < jnp.minimum(b["lens"], width)[:, None], data[gidx], 0
         )
-        tgt = jnp.where(inb, byte_row * width + byte_off, b["cap"] * width)
-        buf = jnp.zeros((b["cap"] * width,), jnp.uint8).at[tgt].set(
-            data, mode="drop"
-        )
-        row_bufs.append(buf.reshape(b["cap"], width))
+        row_bufs.append(rows_b)
 
     # ---- merge the miss rows -------------------------------------------
     merged = []
@@ -176,12 +166,25 @@ def resolve_window(
     flat = flat.at[jnp.where(single, out_pos, N)].set(
         jnp.where(fos, SENTINEL, rank), mode="drop"
     )
+    def _row_prefix(live):
+        """Exclusive within-row rank of live slots via log-shift adds
+        (plain elementwise; avoids the axis-1 cumsum kernel)."""
+        x = live.astype(jnp.int32)
+        w = x.shape[1]
+        sh = 1
+        while sh < w:
+            x = x + jnp.concatenate(
+                [jnp.zeros((x.shape[0], sh), x.dtype), x[:, :-sh]], axis=1
+            )
+            sh *= 2
+        return x - live.astype(jnp.int32)
+
     for tok, cnt, b in merged:
         row_out = jnp.zeros((b["cap"],), jnp.int32).at[b["btgt"]].set(
             out_pos, mode="drop"
         )
         live_tok = tok >= 0
-        col_rank = jnp.cumsum(live_tok, axis=1) - 1
+        col_rank = _row_prefix(live_tok)
         fidx = jnp.where(live_tok, row_out[:, None] + col_rank, N)
         flat = flat.at[fidx.reshape(-1)].set(tok.reshape(-1), mode="drop")
 

@@ -32,6 +32,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _PAY_SENTINEL = jnp.int32(0x7FFFFFFF)
 
@@ -121,6 +122,77 @@ def compact_piece_keys(
     k2 = mask_word(k2, 2)
     k3 = mask_word(k3, 3)
     return start_b, piece_len, k0, k1, k2, k3, n_pieces
+
+
+def _vhash_ab_jnp(k0, k1, k2, k3, length):
+    """Bit-identical jnp version of tables._vhash_ab."""
+    a = (
+        k0.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+        + k2.astype(jnp.uint32) * jnp.uint32(31)
+        + length.astype(jnp.uint32) * jnp.uint32(131)
+    )
+    b = (
+        k1.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D)
+        + k3.astype(jnp.uint32) * jnp.uint32(31)
+    )
+    return a.astype(jnp.int32), b.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("vhash_mask",))
+def vocab_probe(
+    qk0: jnp.ndarray, qk1: jnp.ndarray, qk2: jnp.ndarray, qk3: jnp.ndarray,
+    qlen: jnp.ndarray,          # (P,) int32 piece byte lengths
+    vhash_rows: jnp.ndarray,    # (nb, 24) int32 (tables._build_vocab_hash)
+    vhash_mask: int,            # static bucket mask
+) -> jnp.ndarray:
+    """Gather-based whole-piece lookup: rank or -1 per query.
+
+    Exactly two 96-byte row gathers per piece with full key comparison —
+    the alternative to :func:`vocab_join` for runtimes where device sorts
+    are pathological (every post-sort dispatch on this machine's
+    remote-TPU tunnel degrades ~400x, measured). Exact: a hit requires
+    all 4 key words AND the length to match."""
+    from .merge import _mix
+
+    i0 = qk0.astype(jnp.int32)
+    i1 = qk1.astype(jnp.int32)
+    i2 = qk2.astype(jnp.int32)
+    i3 = qk3.astype(jnp.int32)
+    a, b = _vhash_ab_jnp(qk0, qk1, qk2, qk3, qlen)
+    out = jnp.full(qk0.shape, -1, jnp.int32)
+    for which in (0, 1):
+        h = _mix(a, b, which, vhash_mask)
+        r = vhash_rows[h]  # (P, 24)
+        hit = (
+            (r[:, 0:4] == i0[:, None])
+            & (r[:, 4:8] == i1[:, None])
+            & (r[:, 8:12] == i2[:, None])
+            & (r[:, 12:16] == i3[:, None])
+            & (r[:, 16:20] == qlen[:, None])
+        )
+        vals = jnp.max(jnp.where(hit, r[:, 20:24], -1), axis=1)
+        out = jnp.where((out < 0) & (vals >= 0), vals, out)
+    return out
+
+
+def vocab_probe_np(qk, qlen, vhash_rows, vhash_mask):
+    """Numpy reference of vocab_probe (for tests)."""
+    from ..tables import _mix_hash, _vhash_ab
+
+    a, b = _vhash_ab(qk[:, 0], qk[:, 1], qk[:, 2], qk[:, 3], qlen)
+    out = np.full(len(qlen), -1, np.int32)
+    ik = qk.view(np.int32).reshape(len(qlen), 4)
+    for which in (0, 1):
+        h = _mix_hash(a, b, which, vhash_mask)
+        r = vhash_rows[h]
+        hit = (
+            (r[:, 0:4] == ik[:, 0:1]) & (r[:, 4:8] == ik[:, 1:2])
+            & (r[:, 8:12] == ik[:, 2:3]) & (r[:, 12:16] == ik[:, 3:4])
+            & (r[:, 16:20] == qlen[:, None])
+        )
+        vals = np.where(hit, r[:, 20:24], -1).max(axis=1)
+        out = np.where((out < 0) & (vals >= 0), vals, out)
+    return out
 
 
 def _seg_fill_op(x, y):

@@ -94,20 +94,24 @@ class StreamingEncoder:
             if t not in tokenizer.special_tokens_set:
                 raise KeyError(f"Unknown special token: {t!r}")
         self._buf = ""
+        # every proper prefix of every allowed special (a few thousand
+        # short strings at most): holdback becomes O(max_len) set lookups
+        # per feed instead of O(|allowed| * len) suffix scans
+        self._prefixes: set[str] = set()
+        for sp in self._allowed:
+            for k in range(1, len(sp)):
+                self._prefixes.add(sp[:k])
+        self._max_prefix = max((len(p) for p in self._prefixes), default=0)
 
     # ------------------------------------------------------------------
     def _special_holdback(self, text: str) -> int:
         """Length of the longest proper suffix of `text` that is a prefix
         of an allowed special token (must be held back: more input may
         complete the special)."""
-        best = 0
-        for sp in self._allowed:
-            # check suffixes of text that are proper prefixes of sp
-            for k in range(min(len(sp) - 1, len(text)), 0, -1):
-                if text.endswith(sp[:k]):
-                    best = max(best, k)
-                    break
-        return best
+        for k in range(min(self._max_prefix, len(text)), 0, -1):
+            if text[-k:] in self._prefixes:
+                return k
+        return 0
 
     def feed(self, chunk: str) -> list[int]:
         self._buf += chunk

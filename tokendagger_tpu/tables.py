@@ -137,6 +137,13 @@ class DeviceTables:
     vocab_keys: np.ndarray       # (V, 4) uint32
     vocab_lens: np.ndarray       # (V,) int32
     vocab_ranks: np.ndarray      # (V,) int32
+    # Two-choice bucketed hash over the same whole-piece keys: rows of
+    # 4 slots x [k0,k1,k2,k3,len,rank] (24 int32). A lookup gathers two
+    # 96-byte rows and compares exactly — the gather-based alternative to
+    # the sort-join for runtimes where device sorts are pathological
+    # (the remote-TPU tunnel here degrades every post-sort dispatch).
+    vhash_rows: np.ndarray       # (nb, 24) int32
+    vhash_mask: int
 
 
 def _vocab_digest(ranks: dict[bytes, int], special_tokens: dict[str, int]) -> str:
@@ -156,6 +163,64 @@ def _cache_dir() -> Path:
     return cache_dir()
 
 
+def _vhash_ab(k0: np.ndarray, k1: np.ndarray, k2: np.ndarray,
+              k3: np.ndarray, length: np.ndarray):
+    """Fold the 4 key words + length into the (a, b) pair fed to
+    _mix_hash. uint32 wraparound; must stay bit-identical to the jnp
+    version in ops/join.py."""
+    a = (k0.astype(np.uint32) * np.uint32(0x85EBCA77)
+         + k2.astype(np.uint32) * np.uint32(31)
+         + length.astype(np.uint32) * np.uint32(131))
+    b = (k1.astype(np.uint32) * np.uint32(0xC2B2AE3D)
+         + k3.astype(np.uint32) * np.uint32(31))
+    return a.astype(np.int32), b.astype(np.int32)
+
+
+def _build_vocab_hash(vocab_keys: np.ndarray, vocab_lens: np.ndarray,
+                      vocab_ranks: np.ndarray):
+    """Two-choice bucketed hash over whole-piece keys; same insertion
+    strategy as PairTable.build. Rows: 4 slots x [k0,k1,k2,k3,len,rank],
+    empty slots have len == -1."""
+    n = len(vocab_lens)
+    a_all, b_all = _vhash_ab(
+        vocab_keys[:, 0], vocab_keys[:, 1], vocab_keys[:, 2],
+        vocab_keys[:, 3], vocab_lens,
+    )
+    nbuckets = 1 << max(10, int(np.ceil(np.log2(max(1, n) / 1.5))))
+    for _attempt in range(3):
+        mask = nbuckets - 1
+        slots = np.zeros((nbuckets, 4, 6), dtype=np.int32)
+        slots[:, :, 4] = -1  # len == -1 marks empty
+        fill = np.zeros(nbuckets, dtype=np.int64)
+        remaining = np.arange(n)
+        for which in (0, 1):
+            if len(remaining) == 0:
+                break
+            h = _mix_hash(a_all[remaining], b_all[remaining], which, mask)
+            order = np.argsort(h, kind="stable")
+            hs = h[order]
+            group_start = np.r_[0, np.flatnonzero(np.diff(hs)) + 1]
+            rank_in_group = np.arange(len(hs)) - np.repeat(
+                group_start, np.diff(np.r_[group_start, len(hs)])
+            )
+            slot = fill[hs] + rank_in_group
+            accept = slot < 4
+            idx = remaining[order][accept]
+            bkt = hs[accept]
+            sl = slot[accept]
+            slots[bkt, sl, 0:4] = vocab_keys[idx].view(np.int32)
+            slots[bkt, sl, 4] = vocab_lens[idx]
+            slots[bkt, sl, 5] = vocab_ranks[idx]
+            np.add.at(fill, hs[accept], 1)
+            remaining = remaining[order][~accept]
+        if len(remaining) == 0:
+            # (nb, 24): slot-major [k0 x4][k1 x4][k2 x4][k3 x4][len x4][rank x4]
+            rows = slots.transpose(0, 2, 1).reshape(nbuckets, 24).copy()
+            return rows, mask
+        nbuckets <<= 1
+    raise RuntimeError("vocab hash table build failed after growth retries")
+
+
 def build_tables(
     ranks: dict[bytes, int],
     special_tokens: dict[str, int] | None = None,
@@ -163,8 +228,8 @@ def build_tables(
     use_cache: bool = True,
 ) -> DeviceTables:
     special_tokens = special_tokens or {}
-    # v5: added whole-piece sort-join vocab keys (bump on schema changes)
-    cache_path = _cache_dir() / f"tables_v5_{_vocab_digest(ranks, special_tokens)}.npz"
+    # v6: added whole-piece vocab hash table (bump on schema changes)
+    cache_path = _cache_dir() / f"tables_v6_{_vocab_digest(ranks, special_tokens)}.npz"
     if use_cache and cache_path.exists():
         z = np.load(cache_path)
         return DeviceTables(
@@ -179,6 +244,8 @@ def build_tables(
             vocab_keys=z["vocab_keys"],
             vocab_lens=z["vocab_lens"],
             vocab_ranks=z["vocab_ranks"],
+            vhash_rows=z["vhash_rows"],
+            vhash_mask=int(z["vhash_mask"]),
         )
 
     # --- pair-merge relation: every 2-split of every vocab token -----------
@@ -246,6 +313,9 @@ def build_tables(
         vocab_lens[i] = len(tb)
         vocab_ranks[i] = rank
     vocab_keys = kbuf.view("<u4").reshape(V, 4)
+    vhash_rows, vhash_mask = _build_vocab_hash(
+        vocab_keys, vocab_lens, vocab_ranks
+    )
 
     # --- merge-reachability audit ------------------------------------------
     from .hostengine import byte_pair_encode
@@ -270,6 +340,8 @@ def build_tables(
         vocab_keys=vocab_keys,
         vocab_lens=vocab_lens,
         vocab_ranks=vocab_ranks,
+        vhash_rows=vhash_rows,
+        vhash_mask=vhash_mask,
     )
     if use_cache:
         tmp = cache_path.with_suffix(f".tmp{os.getpid()}.npz")
@@ -288,6 +360,8 @@ def build_tables(
             vocab_keys=vocab_keys,
             vocab_lens=vocab_lens,
             vocab_ranks=vocab_ranks,
+            vhash_rows=vhash_rows,
+            vhash_mask=vhash_mask,
         )
         os.replace(tmp, cache_path)
     return tables
