@@ -1,11 +1,16 @@
 """Tekken-vocab conformance on the reference corpus (BASELINE config 2).
 
 The reference's real tekken.json is stripped from the mount
-(.MISSING_LARGE_BLOBS), so this builds a realistic stand-in: a
-merge-closed 40960-rank prefix of the real Llama-4 vocab, re-encoded in
-the Tekken JSON layout with its id-offset convention and special tokens,
-then verified bit-exact against tiktoken over the conformance corpus —
-including special-token handling.
+(.MISSING_LARGE_BLOBS), so this builds a stand-in at the REAL Tekken
+scale (VERDICT r1 item 7): a merge-closed 130,000-rank prefix of the
+real Llama-4 vocab (any rank prefix of a BPE vocab is merge-closed,
+because BPE builds bottom-up), re-encoded in the Tekken JSON layout with
+its +1000 id-offset convention and 1,000 special tokens — the real
+Mistral control names plus multi-byte UTF-8 specials — then verified
+bit-exact against tiktoken over the conformance corpus, including
+special-token handling.
+
+Layout spec: /root/reference/tests/test_tokendagger_vs_tiktoken.py:61-105.
 """
 
 import base64
@@ -15,8 +20,25 @@ import pytest
 
 from tokendagger_tpu import vocab
 
-N_PREFIX = 40960
-NUM_SPECIAL = 10
+N_PREFIX = 130_000
+NUM_SPECIAL = 1000
+
+
+def _special_names() -> list[str]:
+    """1,000 specials shaped like the real Tekken config: named control
+    tokens first, a few deliberately multi-byte/UTF-8, then filler."""
+    names = [
+        "<unk>", "<s>", "</s>", "[INST]", "[/INST]", "[TOOL_CALLS]",
+        "[AVAILABLE_TOOLS]", "[/AVAILABLE_TOOLS]", "[TOOL_RESULTS]",
+        "[/TOOL_RESULTS]", "[IMG]", "[PREFIX]", "[MIDDLE]", "[SUFFIX]",
+        # multi-byte UTF-8 specials (stress the byte-level scanners)
+        "⟦控制⟧", "«spécial»", "🛑STOP🛑", "⟨βήμα⟩",
+    ]
+    i = 0
+    while len(names) < NUM_SPECIAL:
+        names.append(f"<SPECIAL_{i}>")
+        i += 1
+    return names
 
 
 @pytest.fixture(scope="module")
@@ -39,9 +61,8 @@ def tekken_setup(tmp_path_factory, llama4_assets):
             for i, (tb, _) in enumerate(ordered)
         ],
         "special_tokens": [
-            {"rank": i, "token_str": f"<extra_{i}>" if i > 2 else
-             ["<unk>", "<s>", "</s>"][i], "is_control": True}
-            for i in range(NUM_SPECIAL)
+            {"rank": i, "token_str": name, "is_control": True}
+            for i, name in enumerate(_special_names())
         ],
     }
     p = tmp_path_factory.mktemp("tekken") / "tekken.json"
@@ -95,12 +116,29 @@ class TestTekkenConformance:
 
     def test_specials(self, tekken_pair):
         ours, oracle = tekken_pair
-        text = "<s>hello</s> plain <extra_5>"
+        text = ("<s>[INST]hello[/INST]</s> plain <SPECIAL_5> "
+                "⟦控制⟧ mixed «spécial» and 🛑STOP🛑 near-miss [INST "
+                "<SPECIAL_999x>")
         assert ours.encode(text, allowed_special="all") == oracle.encode(
             text, allowed_special="all"
         )
         with pytest.raises(ValueError):
             ours.encode(text, disallowed_special="all")
+
+    def test_specials_dense(self, tekken_pair):
+        import random
+
+        ours, oracle = tekken_pair
+        rng = random.Random(11)
+        names = _special_names()
+        parts = []
+        for _ in range(300):
+            parts.append("word text " * rng.randint(1, 5))
+            parts.append(rng.choice(names))
+        text = "".join(parts)
+        assert ours.encode(text, allowed_special="all") == oracle.encode(
+            text, allowed_special="all"
+        )
 
     def test_roundtrip(self, tekken_pair, corpus_lorem):
         ours, _ = tekken_pair
