@@ -90,3 +90,16 @@ def test_stream_both_join_modes(llama4_assets, mode):
             + "=" * 300 + "\n日本語 🙂 " * 50)
     got = eng.encode_stream(text.encode())
     assert got.tolist() == host.encode_ordinary(text)
+
+
+@pytest.mark.parametrize("mm", ["host", "device"])
+def test_stream_both_miss_modes(llama4_assets, mm):
+    pattern, ranks, specials = llama4_assets
+    eng = DeviceEngine(pattern, ranks, specials)
+    eng.miss_mode = mm
+    host = HostEngine(pattern, ranks, specials)
+    text = ("plain words here. " * 150
+            + "qzx_miss_42 wvut_9 __dunder__ " * 40   # many misses
+            + "#" * 500 + " tail 🙂")                 # oversize + unicode
+    got = eng.encode_stream(text.encode())
+    assert got.tolist() == host.encode_ordinary(text)

@@ -103,12 +103,9 @@ class DeviceEngine:
         self._pair_mask = int(self.tables.pair.mask)
         self._pair_lut = jnp.asarray(self.tables.pair_lut)
         self._missing_bytes = bool((self.tables.byte_rank < 0).any())
-        # the Pallas MXU first-round kernel runs compiled on TPU only, and
-        # its f32 accumulation is exact only for ids < 2^24
-        self._use_pallas = (
-            jax.default_backend() == "tpu"
-            and self.tables.n_vocab < (1 << 24)
-        )
+        # gates only the blockwise Pallas UTF-8 decode (ops/pallas_scan);
+        # the former MXU LUT merge kernel was measured out (docs/PERF.md)
+        self._use_pallas = jax.default_backend() == "tpu"
 
         kind = classify_pattern(pattern)
         if stream is None:
@@ -132,6 +129,11 @@ class DeviceEngine:
             self._vrank = jnp.asarray(self.tables.vocab_ranks)
             self._vhash_rows = jnp.asarray(self.tables.vhash_rows)
             self.join_mode = "probe"
+            # "host": device resolves whole-piece hits, misses splice on
+            # host (all-safe kernels; right for this rig's remote runtime
+            # and for miss rates of a few %). "device": misses merge on
+            # device (width-bucketed row merges inside the same program).
+            self.miss_mode = "host"
             # the CPU backend's compile time scales with shape; keep its
             # scan windows small (the CPU device path exists for tests) and
             # never grow them (a 1 MB-shape CPU compile can take minutes) —
@@ -337,11 +339,18 @@ class DeviceEngine:
             return np.asarray(ids, dtype=np.int64), len(prefix.encode("utf-8"))
 
     def _fused_window(self, window: bytes, trim: int):
-        """Run the fused join-first resolver (ops/fused.py) on one window.
-        Returns (flat ids | None on cap overflow, consumed_bytes)."""
+        """Run the join-first resolver (ops/fused.py) on one window.
+        Returns (flat ids | None on cap overflow, consumed_bytes).
+
+        With miss_mode="host" (default) the window runs as a chain of
+        SMALL separate dispatches — scan stages, key compaction, vocab
+        probe, finalize — because fusing them into one program triggers
+        minute-long compiles and the remote runtime's degraded dispatch
+        mode (docs/PERF.md); each stage alone runs in ~0.1 ms/MB."""
         jnp = self._jnp
         from .ops import pretokenize as PT
-        from .ops.fused import caps_for, resolve_window
+        from .ops.fused import caps_for, finalize_host, resolve_window
+        from .ops.join import compact_piece_keys, vocab_join, vocab_probe
 
         n = len(window)
         N = next(s for s in SCAN_SIZES if s >= n)
@@ -355,16 +364,32 @@ class DeviceEngine:
             contractions=self._contractions, profile=self._profile,
         )
         starts = PT._chain_starts_j(lens, m)
-        flat, total, _n_pieces, _n_kept, consumed, overflow, os_s, os_l, n_os = (
-            resolve_window(
+        if self.miss_mode == "host":
+            p_cap = caps_for(N)["p_cap"]
+            sb, pl, k0, k1, k2, k3, npc = compact_piece_keys(
+                starts, boc, dev, nb, p_cap
+            )
+            if self.join_mode == "sort":
+                rank = vocab_join(k0, k1, k2, k3, pl, self._vk,
+                                  self._vlen, self._vrank)
+            else:
+                rank = vocab_probe(k0, k1, k2, k3, pl, self._vhash_rows,
+                                   self.tables.vhash_mask)
+            (flat, total, _n_pieces, _n_kept, consumed, overflow,
+             os_s, os_l, n_os) = finalize_host(
+                sb, pl, rank, npc, jnp.int32(trim), p_cap=p_cap
+            )
+        else:
+            (flat, total, _n_pieces, _n_kept, consumed, overflow,
+             os_s, os_l, n_os) = resolve_window(
                 starts, boc, dev, nb, jnp.int32(trim),
                 self._byte_rank, self._pair_rows, self._pair_lut,
                 self._vk, self._vlen, self._vrank, self._vhash_rows,
                 mask=self._pair_mask,
                 vhash_mask=self.tables.vhash_mask,
-                join_mode=self.join_mode, **caps_for(N),
+                join_mode=self.join_mode, miss_mode=self.miss_mode,
+                **caps_for(N),
             )
-        )
         if bool(overflow):
             return None, 0
         total_i = int(total)

@@ -36,19 +36,19 @@ def gather_merge(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (tok (R, width) int32 with -1 dead slots, counts (R,)).
 
-    With ``use_pallas`` the first-round pair ranks come from the MXU
-    one-hot kernel (ops/pallas_lut.py) instead of hash gathers.
+    ``use_pallas`` is accepted for call-site compatibility but ignored:
+    the former MXU one-hot first-round kernel (256-column unrolled
+    dot_generals) was measured strictly worse than the flat pair-LUT
+    gather on the v5e — it is exactly the giant-lowering program class
+    that trips the remote runtime's degraded dispatch mode (docs/PERF.md
+    "dispatch cliff") — and was removed per the no-unmeasured-kernels
+    rule.
     """
     R = starts.shape[0]
     cols = jnp.arange(width, dtype=jnp.int32)[None, :]
     gidx = starts[:, None] + cols
     gidx = jnp.clip(gidx, 0, data.shape[0] - 1)
     buf = jnp.where(cols < lens[:, None], data[gidx], 0)
-    if use_pallas and pair_lut is not None:
-        from .pallas_lut import lut_init
-
-        tok0, pr0 = lut_init(buf, lens, byte_rank, pair_lut)
-        return merge_rows_from_state(tok0, pr0, lens, pair_rows, mask=mask)
     return merge_rows_local(
         buf, lens, byte_rank, pair_rows, mask=mask, pair_lut=pair_lut
     )

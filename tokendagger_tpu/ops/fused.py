@@ -59,7 +59,7 @@ def caps_for(n: int) -> dict[str, int]:
     jax.jit,
     static_argnames=(
         "p_cap", "m16", "m64", "m256", "os_cap", "mask", "vhash_mask",
-        "join_mode",
+        "join_mode", "miss_mode",
     ),
 )
 def resolve_window(
@@ -75,7 +75,7 @@ def resolve_window(
     vhash_rows: jnp.ndarray,
     *,
     p_cap: int, m16: int, m64: int, m256: int, os_cap: int, mask: int,
-    vhash_mask: int, join_mode: str = "probe",
+    vhash_mask: int, join_mode: str = "probe", miss_mode: str = "host",
 ):
     N = data.shape[0]
     bidx = jnp.arange(N, dtype=jnp.int32)
@@ -101,6 +101,35 @@ def resolve_window(
                            vhash_mask)
     hit = kept & (rank >= 0)
     miss = kept & (rank < 0)
+
+    if miss_mode == "host":
+        # Device resolves hits only; every miss emits a SENTINEL slot plus
+        # its byte span for exact host-side merging (the splice mechanism
+        # used for >256-byte pieces in device mode). This keeps the whole
+        # program inside the verified-fast/safe primitive set — the
+        # device-merge variant's row packing and width-bucket merges are
+        # among the big-lowering kernels that flip this machine's
+        # remote-TPU runtime into its degraded dispatch mode.
+        overflow = n_pieces > p_cap
+        counts = jnp.where(kept, 1, 0)
+        out_pos = jnp.cumsum(counts) - counts
+        total = jnp.sum(counts)
+        flat = jnp.full((N,), -1, jnp.int32)
+        flat = flat.at[jnp.where(kept, out_pos, N)].set(
+            jnp.where(hit, rank, SENTINEL), mode="drop"
+        )
+        mpid = jnp.cumsum(miss.astype(jnp.int32)) - 1
+        n_ms = jnp.maximum(jnp.where(jnp.any(miss), mpid[-1] + 1, 0), 0)
+        mtgt = jnp.where(miss, mpid, p_cap)
+        ms_start = jnp.zeros((p_cap,), jnp.int32).at[mtgt].set(
+            start_b, mode="drop"
+        )
+        ms_len = jnp.zeros((p_cap,), jnp.int32).at[mtgt].set(
+            piece_len, mode="drop"
+        )
+        return (flat, total, n_pieces, n_kept, consumed, overflow,
+                ms_start, ms_len, n_ms)
+
     f16 = miss & (piece_len <= W16)
     f64 = miss & (piece_len > W16) & (piece_len <= W64)
     f256 = miss & (piece_len > W64) & (piece_len <= W256)
@@ -202,3 +231,53 @@ def resolve_window(
 
     return (flat, total, n_pieces, n_kept, consumed, overflow,
             os_start, os_len, n_os)
+
+
+@partial(jax.jit, static_argnames=("p_cap",))
+def finalize_host(
+    start_b: jnp.ndarray,    # (p_cap,) int32 piece starts (compact_piece_keys)
+    piece_len: jnp.ndarray,  # (p_cap,) int32
+    rank: jnp.ndarray,       # (p_cap,) int32 whole-piece rank or -1
+    n_pieces: jnp.ndarray,   # scalar int32
+    trim: jnp.ndarray,       # scalar int32
+    n_flat: int | None = None,
+    *,
+    p_cap: int,
+):
+    """Final assembly for miss_mode="host", as its OWN dispatch.
+
+    Stage separation is deliberate: fusing this with the key compaction
+    and the vocab probe in one jit produces a program that compiles for
+    minutes and flips the remote runtime into its degraded dispatch mode
+    (docs/PERF.md "dispatch cliff"), even though each stage alone compiles
+    in seconds and runs in ~0.1 ms.
+    """
+    if n_flat is None:
+        n_flat = p_cap
+    pslot = jnp.arange(p_cap, dtype=jnp.int32)
+    end_b = start_b + piece_len
+    live = pslot < jnp.minimum(n_pieces, p_cap)
+    kept = live & (end_b <= trim)
+    n_kept = jnp.sum(kept.astype(jnp.int32))
+    consumed = jnp.max(jnp.where(kept, end_b, 0))
+    overflow = n_pieces > p_cap
+    hit = kept & (rank >= 0)
+    miss = kept & (rank < 0)
+    counts = jnp.where(kept, 1, 0)
+    out_pos = jnp.cumsum(counts) - counts
+    total = jnp.sum(counts)
+    flat = jnp.full((p_cap,), -1, jnp.int32)
+    flat = flat.at[jnp.where(kept, out_pos, p_cap)].set(
+        jnp.where(hit, rank, SENTINEL), mode="drop"
+    )
+    mpid = jnp.cumsum(miss.astype(jnp.int32)) - 1
+    n_ms = jnp.maximum(jnp.where(jnp.any(miss), mpid[-1] + 1, 0), 0)
+    mtgt = jnp.where(miss, mpid, p_cap)
+    ms_start = jnp.zeros((p_cap,), jnp.int32).at[mtgt].set(
+        start_b, mode="drop"
+    )
+    ms_len = jnp.zeros((p_cap,), jnp.int32).at[mtgt].set(
+        piece_len, mode="drop"
+    )
+    return (flat, total, n_pieces, n_kept, consumed, overflow,
+            ms_start, ms_len, n_ms)

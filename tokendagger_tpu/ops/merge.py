@@ -100,7 +100,7 @@ def merge_rows_from_state(
     mask: int,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """The merge while-loop, starting from externally computed first-round
-    state (e.g. the Pallas MXU one-hot kernel, ops/pallas_lut.py).
+    state.
 
     The body is deliberately scatter/gather-free over the row axis: every
     per-row dynamic-index read is a one-hot masked reduction and every
