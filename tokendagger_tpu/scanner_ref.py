@@ -408,3 +408,298 @@ def split_spans(
         spans.append((i, i + l))
         i += l
     return spans
+
+
+# ===========================================================================
+# Boundary-local piece starts (no chaining)
+# ===========================================================================
+#
+# The chain formulation (starts = pointer-chase over per-position match
+# lengths) costs ~350 ms/MB on a v5e: every doubling round is a random
+# gather into an HBM-sized array. This section derives the start set
+# DIRECTLY: for these pattern profiles, whether a piece starts at i is a
+# closed-form function of class-run arithmetic (run starts/ends, last
+# newline, case-kind transitions) plus a bounded window of context — all
+# computable with forward/reverse scans and static shifts, no gathers.
+#
+# The derivation (per region kind, llama4/o200k family):
+# * NUM runs: nothing else consumes digits, so every digit run is entered
+#   at its start and tiled 3-at-a-time -> boundary iff (i - run_start) % 3
+#   == 0.
+# * WD (uc|lc) runs: word pieces tile the run; with kinds U (uc only),
+#   L (lc only), O (both): a piece from entry e ends before the first
+#   U-kind after the first L-kind >= e; if no L-kind remains, it ends
+#   after the LAST O-kind (A1 backtracking), else consumes the rest (A2).
+#   Per-position rules (entry-independent): boundary at U-kind u whose
+#   nearest non-O predecessor in the run is L-kind; boundary at lastO+1
+#   when no L-kind follows the first U after the last L. Contractions
+#   (llama only) absorb 1-2 leading letters of the run after an
+#   apostrophe that follows a word end -> suppress claims there and force
+#   the entry after the absorbed letters.
+# * PU regions and marks (pu = [^\s\p{L}\p{N}] includes M-class marks,
+#   which are also wd): within a maximal (PU|mark) run, A1's prefix rule
+#   preempts A4 while the pattern alternates [PU][mark-run]; the first PU
+#   char followed by non-mark starts an A4 that consumes the remainder.
+#   A4's [\r\n/]* tail then absorbs a following {rn,/}-run (across ws/PU
+#   region boundaries).
+# * WS regions: leading {rn,/} absorbed by a preceding A4 tail; an A5
+#   piece ends after the last newline; the pure-ws tail keeps its last
+#   char only if it can bind to the next piece (any non-newline ws before
+#   a word; a literal space before punct), else A6/A7 split.
+#
+# Every rule is validated against the chained reference and the `regex`
+# oracle by tests/fuzz_scanner.py (class-adversarial corpora).
+
+
+def _prevpos(mask: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """p[i] = largest j <= i with mask[j], else -1."""
+    return np.maximum.accumulate(np.where(mask, idx, -1))
+
+
+def _nextpos(mask: np.ndarray, idx: np.ndarray, n: int) -> np.ndarray:
+    """p[i] = smallest j >= i with mask[j], else n."""
+    return np.minimum.accumulate(np.where(mask, idx, n)[::-1])[::-1]
+
+
+def _shift_right(a: np.ndarray, k: int, fill) -> np.ndarray:
+    out = np.full_like(a, fill)
+    if k < len(a):
+        out[k:] = a[: len(a) - k]
+    return out
+
+
+def _shift_left(a: np.ndarray, k: int, fill) -> np.ndarray:
+    out = np.full_like(a, fill)
+    if k < len(a):
+        out[: len(a) - k] = a[k:]
+    return out
+
+
+def piece_starts(
+    cp: np.ndarray, *, contractions: bool = True, profile: str | None = None
+) -> np.ndarray:
+    """Boundary-local piece-start flags, (n,) bool.
+
+    Produces exactly np.nonzero-chain(match_lengths) without any
+    pointer-chasing; see the derivation comment above.
+    """
+    if profile is None:
+        profile = "llama4" if contractions else "nocontract"
+    if profile in ("llama4", "nocontract"):
+        return _piece_starts_llama(cp, contractions=profile == "llama4")
+    # cl100k/gpt2 piece pattern differs enough (\r\n handling, number caps,
+    # contraction suffixes without the A4 tail) that their boundary-local
+    # rules are a separate derivation; those profiles use the chained
+    # formulation until one lands.
+    raise NotImplementedError(f"no boundary-local derivation for: {profile}")
+
+
+def _piece_starts_llama(cp: np.ndarray, *, contractions: bool) -> np.ndarray:
+    classes, _ = get_tables()
+    n = len(cp)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    idx = np.arange(n, dtype=np.int64)
+
+    cls = classes[cp]
+    ws = (cls & WS) != 0
+    rn = (cls & RN) != 0
+    let = (cls & LETTER) != 0
+    num = (cls & NUM) != 0
+    uc = (cls & UC) != 0
+    lc = (cls & LC) != 0
+    wd = uc | lc
+    pu_re = ~(ws | let | num)          # the regex class [^\s\p{L}\p{N}]
+    mark = pu_re & wd                  # M-class: in both pu and wd
+    sp = cp == ord(" ")
+    apo = cp == ord("'")
+    rnsl = rn | (cp == ord("/"))
+
+    U = uc & ~lc
+    L = lc & ~uc
+    O = uc & lc
+
+    def prev(m, k=1):
+        return _shift_right(m, k, False)
+
+    def nxt(m, k=1):
+        return _shift_left(m, k, False)
+
+    def at(arr, pos, fill):
+        out = np.full(len(pos), fill, dtype=arr.dtype)
+        ok = (pos >= 0) & (pos < n)
+        out[ok] = arr[pos[ok]]
+        return out
+
+    def _ffill_at(entry: np.ndarray, val: np.ndarray) -> np.ndarray:
+        """Value of `val` at the latest entry position <= i (-1 if none)."""
+        enc = np.where(entry, idx * (np.int64(n) + 2) + (val + 1), -1)
+        enc = np.maximum.accumulate(enc)
+        return np.where(enc >= 0, enc % (np.int64(n) + 2) - 1, -1)
+
+    rnsl_start = _prevpos(~rnsl, idx) + 1
+    mr_start = _prevpos(~mark, idx) + 1
+
+    if contractions:
+        fold = _fold_id_table()
+        cpp = np.concatenate([cp.astype(np.int64), np.zeros(2, np.int64)])
+        f1 = fold[cpp[1 : n + 1]]
+        f2 = fold[cpp[2 : n + 2]]
+        fold_one = (f1 == _S) | (f1 == _T) | (f1 == _M) | (f1 == _D)
+        fold_two = ((f1 == _R) & (f2 == _E)) | ((f1 == _V) & (f2 == _E)) | (
+            (f1 == _L) & (f2 == _L)
+        )
+    else:
+        fold_one = np.zeros(n, bool)
+        fold_two = np.zeros(n, bool)
+
+    # ================= mutually-recursive core ============================
+    # ct (contraction absorption) needs to know which marks are word
+    # material (not eaten by an A4), and the (PU|mark)-run analysis must
+    # exclude ct-absorbed apostrophes from punct runs. Two fixpoint rounds
+    # resolve realistic texts (each round settles one more link of any
+    # apostrophe/punct chain); the device port carries the same loop.
+    ct2 = np.zeros(n, bool)
+    ct3 = np.zeros(n, bool)
+    for _round in range(2):
+        PUx = pu_re & ~wd & ~(ct2 | ct3)   # effective pure-punct chars
+        purc = PUx | mark
+        pur_start = _prevpos(~purc, idx) + 1
+        bad = PUx & ~nxt(mark)
+        nbad = _nextpos(bad, idx, n)
+
+        def a4_cover(bound_into, absorbed):
+            entry = purc & ((idx == pur_start) | (~absorbed & prev(absorbed)))
+            start_cover = PUx & bound_into & (idx == pur_start)
+            seedval = np.where(start_cover, idx, nbad)
+            cover_from = _ffill_at(entry, seedval)
+            covered = purc & (cover_from >= 0) & (idx >= cover_from)
+            return covered, cover_from
+
+        def absorption(a4_valid):
+            t0 = rn & prev(a4_valid & purc)
+            pt0 = _prevpos(t0, idx)
+            return rnsl & (pt0 >= rnsl_start)
+
+        # region partition / rend (needed by ws rules)
+        K = np.where(ws, 0, np.where(num, 1, np.where(wd, 2, 3))).astype(np.int8)
+        newreg = np.ones(n, bool)
+        newreg[1:] = K[1:] != K[:-1]
+        reg_start = _prevpos(newreg, idx)
+        nxtreg = _nextpos(np.concatenate([newreg[1:], np.zeros(1, bool)]), idx, n)
+        rend = np.where(nxtreg < n, nxtreg + 1, n)
+
+        def ws_rules(absorbed):
+            ws_entry = ws & ~absorbed & (prev(~ws) | prev(absorbed) | (idx == 0))
+            nextrn_l = _nextpos(rn & ~absorbed, idx, n)
+            is_last_rn = rn & ~absorbed & (at(nextrn_l, idx + 1, n) >= rend)
+            b_after_rn = ws & prev(is_last_rn)
+            in_tail = ws & ~rn & ~absorbed & (nextrn_l >= rend)
+            tail_start = in_tail & ~prev(in_tail)
+            tail_start_pos = np.where(in_tail, _prevpos(tail_start, idx), -1)
+            at_last = in_tail & (idx == rend - 1) & (rend < n)
+            eligible = at_last & ((nxt(wd) & ~rn) | (sp & nxt(pu_re)))
+            b_ws_split = at_last & (tail_start_pos >= 0) & (idx > tail_start_pos)
+            bound_into = prev(eligible)
+            b_ws = (ws_entry | b_after_rn | b_ws_split) & ws
+            return b_ws, bound_into
+
+        absorbed = np.zeros(n, bool)
+        for _ in range(4):
+            a4_covered, cover_from = a4_cover(np.zeros(n, bool), absorbed)
+            absorbed = absorption(a4_covered)
+        _, bound_into0 = ws_rules(absorbed)
+        for _ in range(4):
+            a4_covered, cover_from = a4_cover(bound_into0, absorbed)
+            absorbed = absorption(a4_covered)
+        flow_marks = mark & at(a4_covered & PUx & ~absorbed, mr_start - 1, False)
+        b_ws, bound_into = ws_rules(absorbed)
+
+        if not contractions:
+            break
+        # ---- contraction absorption ------------------------------------
+        # word-material = letters, plus marks not eaten by an A4
+        word_end_char = (wd & ~mark) | (
+            mark & ~(flow_marks | (a4_covered & mark))
+        )
+        ct2 = apo & prev(word_end_char) & fold_one
+        ct3 = apo & prev(word_end_char) & fold_two & ~fold_one
+        # chained groups: a fully-absorbed suffix cannot justify the next
+        # ct (alternating states; candidates are rare -> sequential walk)
+        cand = np.nonzero(ct2 | ct3)[0]
+        suffix_end = -10
+        for a in cand:
+            if a == suffix_end:
+                ct2[a] = ct3[a] = False
+                suffix_end = -10
+                continue
+            ln = 2 if ct2[a] else 3
+            nxt_pos = a + ln
+            exact = nxt_pos >= n or not wd[nxt_pos]
+            suffix_end = nxt_pos if exact else -10
+
+    ct_any = ct2 | ct3
+    absorbed_letters = prev(ct2) | prev(ct3) | prev(ct3, 2)
+    forced_entry = wd & (prev(ct2, 2) | prev(ct3, 3)) & ~absorbed_letters
+
+    # ================= boundary rules =====================================
+    # ---- WS / NUM ---------------------------------------------------------
+    b_num = num & (((idx - reg_start) % 3) == 0)
+
+    # ---- WD runs ------------------------------------------------------------
+    wd_start = _prevpos(~wd, idx) + 1
+    pL = _prevpos(L, idx)
+    pU = _prevpos(U, idx)
+    nL = _nextpos(L, idx, n)
+    nO = _nextpos(O, idx, n)
+    wd_end = _nextpos(~wd, idx, n)
+    p_prev_L = _shift_right(pL, 1, -1)
+    p_prev_U = _shift_right(pU, 1, -1)
+    r1 = U & (p_prev_L > p_prev_U) & (p_prev_L >= wd_start)
+    r2 = U & prev(O) & (nO >= wd_end) & (nL >= wd_end) & ~r1
+
+    b_wd = (r1 | r2 | forced_entry) & ~absorbed_letters & ~flow_marks
+    b_wd |= wd & ~mark & prev(flow_marks)
+
+    # ---- PU interior: alternation entries ----------------------------------
+    PUx = pu_re & ~wd & ~ct_any
+    purc = PUx | mark
+    pur_alt = PUx & prev(mark) & (idx > pur_start) & (
+        ~a4_covered | (idx == cover_from)
+    )
+    b_pu = pur_alt & ~absorbed
+
+    # ---- assemble ------------------------------------------------------------
+    base = np.zeros(n, bool)
+    base |= b_ws
+    base |= b_num
+    base |= b_wd
+    base |= b_pu
+    K = np.where(ws, 0, np.where(num, 1, np.where(wd, 2, 3))).astype(np.int8)
+    newreg = np.ones(n, bool)
+    newreg[1:] = K[1:] != K[:-1]
+    base |= newreg & ~ws & ~purc
+    base |= purc & (idx == pur_start)
+    base |= purc & ~absorbed & prev(absorbed)
+
+    sup = np.zeros(n, bool)
+    sup |= absorbed | flow_marks | absorbed_letters | bound_into
+    sup |= ct_any
+    # word-attached marks never start — unless a contraction absorbed the
+    # letters before them, forcing an entry exactly here
+    pnm = _prevpos(~mark, idx)
+    word_attached_mark = mark & at((wd & ~mark), pnm, False)
+    sup |= word_attached_mark & ~forced_entry
+
+    p1 = ~(rn | let | num)
+    base_start = np.where(
+        ws, base & ~sup,
+        np.where(num, base,
+                 np.where(purc & ~wd, base & ~sup, False)),
+    ).astype(bool)
+    prefix_bind = wd & prev(base_start & p1 & ~wd & ~absorbed_letters)
+    sup |= prefix_bind
+
+    starts = base & ~sup
+    starts[0] = n > 0
+    return starts
