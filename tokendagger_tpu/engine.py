@@ -359,11 +359,10 @@ class DeviceEngine:
         dev = jnp.asarray(buf)
         nb = jnp.int32(n)
         cp, _, boc, m = PT._utf8_decode_j(dev, nb, use_pallas=self._use_pallas)
-        lens = PT._match_lengths_j(
+        starts = PT.compute_starts(
             cp, m, self._page_ids, self._pages,
             contractions=self._contractions, profile=self._profile,
         )
-        starts = PT._chain_starts_j(lens, m)
         if self.miss_mode == "host":
             p_cap = caps_for(N)["p_cap"]
             sb, pl, k0, k1, k2, k3, npc = compact_piece_keys(

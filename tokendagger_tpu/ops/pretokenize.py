@@ -453,6 +453,330 @@ def chain_starts(lens: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
     return mask[:N] & (idx < m)
 
 
+# ===========================================================================
+# Boundary-local piece starts (device port of scanner_ref.piece_starts)
+# ===========================================================================
+#
+# Mirrors scanner_ref._piece_starts_llama statement-for-statement — the two
+# must stay in lockstep (see CLAUDE.md). The numpy version's only
+# device-hostile constructs are rewritten in kind:
+#
+#   * arbitrary gathers a[pos] (random HBM access, ~12 ms per 1M-from-1M on
+#     a v5e) become forward-fill scans with the payload encoded into the
+#     cummax key (_ffill_at_j, _ffill_bool_at_j);
+#   * the sequential contraction-candidate walk becomes an exact 4-state
+#     automaton whose per-position transition codes compose via a
+#     precomputed 256x256 table and Hillis-Steele doubling — log2(N)
+#     small-table gathers (13 us each on-chip), no data-dependent loop.
+#
+# Reverse scans (lax.cummin reverse=True) are ~30x slower than forward on
+# this chip (376 us vs 13 us per 1M) but only ~10 are needed; everything
+# else is forward scans, static shifts, and elementwise ops — the op set
+# measured safe on this runtime (no lax.sort / associative_scan).
+
+
+def _nextpos_m(mask: jnp.ndarray, idx: jnp.ndarray, m) -> jnp.ndarray:
+    """p[i] = smallest j >= i with mask[j], else m (the valid length)."""
+    return jax.lax.cummin(
+        jnp.where(mask, idx, jnp.int32(m)), axis=0, reverse=True
+    )
+
+
+def _shr(a: jnp.ndarray, k: int, fill) -> jnp.ndarray:
+    if k == 0:
+        return a
+    n = a.shape[0]
+    if k >= n:
+        return jnp.full_like(a, fill)
+    return jnp.concatenate([jnp.full((k,), fill, a.dtype), a[: n - k]])
+
+
+def _shl(a: jnp.ndarray, k: int, fill) -> jnp.ndarray:
+    if k == 0:
+        return a
+    n = a.shape[0]
+    if k >= n:
+        return jnp.full_like(a, fill)
+    return jnp.concatenate([a[k:], jnp.full((k,), fill, a.dtype)])
+
+
+def _ffill_at_j(entry: jnp.ndarray, val: jnp.ndarray, N: int) -> jnp.ndarray:
+    """scanner_ref._ffill_at: value of `val` at the latest entry position
+    <= i, -1 if none. Payload rides the cummax key, split across as many
+    parallel int32 scans as the bit budget requires (2 for N <= 2^20)."""
+    idx_bits = max(1, int(np.ceil(np.log2(max(2, N)))))
+    val_bits = idx_bits + 2          # val in [-1, N] stored as val+1
+    lo_bits = 31 - idx_bits          # payload bits per scan
+    parts = max(1, -(-val_bits // lo_bits))
+    idx = jnp.arange(N, dtype=jnp.int32)
+    vp = (val + 1).astype(jnp.int32)
+    pieces = []
+    for p in range(parts):
+        chunk = (vp >> (p * lo_bits)) & ((1 << lo_bits) - 1)
+        enc = jnp.where(entry, (idx << lo_bits) | chunk, -1)
+        c = jax.lax.cummax(enc, axis=0)
+        pieces.append(c)
+    has = pieces[0] >= 0
+    out = jnp.zeros((N,), jnp.int32)
+    for p, c in enumerate(pieces):
+        out = out | ((c & ((1 << lo_bits) - 1)) << (p * lo_bits))
+    return jnp.where(has, out - 1, -1)
+
+
+def _ffill_bool_at_j(sample: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
+    """X at the latest position j <= i with sample[j], else False.
+    Device form of scanner_ref's at(X, _prevpos(sample)) gathers."""
+    idx = jnp.arange(sample.shape[0], dtype=jnp.int32)
+    enc = jnp.where(sample, (idx << 1) | X.astype(jnp.int32), -1)
+    c = jax.lax.cummax(enc, axis=0)
+    return (c >= 0) & ((c & 1) == 1)
+
+
+_CT_IDENT = 0 | (1 << 2) | (2 << 4) | (3 << 6)        # f(s) = s
+_CT_DECAY = 3 | (0 << 2) | (1 << 4) | (3 << 6)        # r0->none, r1->r0, r2->r1
+_CT_COMPOSE: np.ndarray | None = None
+
+
+def _ct_compose_table() -> np.ndarray:
+    """C[g*256+f] = code of g∘f (apply f first) over the 4-state
+    contraction automaton; states 0..2 = suffix_end at i+state, 3 = none."""
+    global _CT_COMPOSE
+    if _CT_COMPOSE is None:
+        g = np.arange(256, dtype=np.uint32)[:, None]
+        f = np.arange(256, dtype=np.uint32)[None, :]
+        out = np.zeros((256, 256), dtype=np.uint32)
+        for s in range(4):
+            fs = (f >> (2 * s)) & 3
+            gfs = (g >> (2 * fs)) & 3
+            out |= gfs << (2 * s)
+        _CT_COMPOSE = out.astype(np.uint8).reshape(-1)
+    return _CT_COMPOSE
+
+
+def _ct_chain_accept(
+    ct2: jnp.ndarray, ct3: jnp.ndarray, exact2: jnp.ndarray,
+    exact3: jnp.ndarray, N: int,
+) -> jnp.ndarray:
+    """Acceptance flags for the sequential candidate walk in
+    scanner_ref._piece_starts_llama (a candidate starting exactly at the
+    previous accepted candidate's suffix end is rejected)."""
+    cand = ct2 | ct3
+    ln_m1 = jnp.where(ct3, 2, 1)                       # ln - 1
+    exact = jnp.where(ct3, exact3, exact2)
+    a = jnp.where(exact, ln_m1, 3).astype(jnp.int32)
+    cand_code = 3 | (a << 2) | (a << 4) | (a << 6)
+    f = jnp.where(cand, cand_code, _CT_DECAY).astype(jnp.int32)
+
+    C = jnp.asarray(_ct_compose_table())
+    rounds = max(1, int(np.ceil(np.log2(max(2, N)))))
+    for k in range(rounds):
+        fsh = _shr(f, 1 << k, _CT_IDENT)
+        f = C[(f << 8) | fsh].astype(jnp.int32)
+    instate = (_shr(f, 1, _CT_IDENT) >> 6) & 3         # P[i-1] applied to none
+    return cand & (instate != 0)
+
+
+def piece_starts_jax(
+    cp: jnp.ndarray,        # (N,) int32 codepoints (0-padded beyond m)
+    m: jnp.ndarray,         # scalar int32: number of valid chars
+    page_ids: jnp.ndarray,
+    pages: jnp.ndarray,
+    *,
+    contractions: bool = True,
+    profile: str | None = None,
+) -> jnp.ndarray:
+    """Piece-start flags, (N,) bool — scanner_ref.piece_starts on device."""
+    if profile is None:
+        profile = "llama4" if contractions else "nocontract"
+    if profile not in ("llama4", "nocontract"):
+        raise NotImplementedError(f"no boundary-local derivation for: {profile}")
+    contractions = profile == "llama4"
+
+    N = cp.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    valid = idx < m
+    mI = m.astype(jnp.int32) if hasattr(m, "astype") else jnp.int32(m)
+
+    cls = _cls_lookup(cp, page_ids, pages)
+    ws = ((cls & WS) != 0) & valid
+    rn = ((cls & RN) != 0) & valid
+    let = ((cls & LETTER) != 0) & valid
+    num = ((cls & NUM) != 0) & valid
+    uc = ((cls & UC) != 0) & valid
+    lc = ((cls & LC) != 0) & valid
+    wd = uc | lc
+    pu_re = ~(ws | let | num) & valid
+    mark = pu_re & wd
+    sp = (cp == ord(" ")) & valid
+    apo = (cp == ord("'")) & valid
+    rnsl = (rn | (cp == ord("/"))) & valid
+
+    U = uc & ~lc
+    L = lc & ~uc
+    O = uc & lc
+
+    def prev(mk, k=1):
+        return _shr(mk, k, False)
+
+    def nxt(mk, k=1):
+        return _shl(mk, k, False)
+
+    rnsl_start = _prevpos(~rnsl, idx) + 1
+    mr_start = _prevpos(~mark, idx) + 1
+
+    if contractions:
+        cp1 = jnp.where(idx + 1 < m, _shl(cp, 1, jnp.int32(0)), 0)
+        cp2 = jnp.where(idx + 2 < m, _shl(cp, 2, jnp.int32(0)), 0)
+        fold_one = (
+            _fold_is(cp1, _S) | _fold_is(cp1, _T) | _fold_is(cp1, _M)
+            | _fold_is(cp1, _D)
+        )
+        fold_two = (
+            (_fold_is(cp1, _R) & _fold_is(cp2, _E))
+            | (_fold_is(cp1, _V) & _fold_is(cp2, _E))
+            | (_fold_is(cp1, _L) & _fold_is(cp2, _L))
+        )
+    else:
+        fold_one = jnp.zeros((N,), jnp.bool_)
+        fold_two = jnp.zeros((N,), jnp.bool_)
+
+    # region partition (classes are static across fixpoint rounds)
+    K = jnp.where(ws, 0, jnp.where(num, 1, jnp.where(wd, 2, 3)))
+    K = jnp.where(valid, K, 4).astype(jnp.int32)
+    newreg = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), K[1:] != K[:-1]]
+    )
+    reg_start = _prevpos(newreg, idx)
+    nxtreg = _nextpos_m(nxt(newreg), idx, mI)
+    rend = jnp.where(nxtreg < mI, nxtreg + 1, mI)
+
+    # ================= mutually-recursive core ============================
+    ct2 = jnp.zeros((N,), jnp.bool_)
+    ct3 = jnp.zeros((N,), jnp.bool_)
+    n_rounds = 2 if contractions else 1
+    for _round in range(n_rounds):
+        PUx = pu_re & ~wd & ~(ct2 | ct3)
+        purc = PUx | mark
+        pur_start = _prevpos(~purc, idx) + 1
+        bad = PUx & ~nxt(mark)
+        nbad = _nextpos_m(bad, idx, mI)
+
+        def a4_cover(bound_into, absorbed, *, PUx=PUx, purc=purc,
+                     pur_start=pur_start, nbad=nbad):
+            entry = purc & ((idx == pur_start) | (~absorbed & prev(absorbed)))
+            start_cover = PUx & bound_into & (idx == pur_start)
+            seedval = jnp.where(start_cover, idx, nbad)
+            cover_from = _ffill_at_j(entry, seedval, N)
+            covered = purc & (cover_from >= 0) & (idx >= cover_from)
+            return covered, cover_from
+
+        def absorption(a4_valid, *, purc=purc):
+            t0 = rn & prev(a4_valid & purc)
+            pt0 = _prevpos(t0, idx)
+            return rnsl & (pt0 >= rnsl_start)
+
+        def ws_rules(absorbed):
+            ws_entry = ws & ~absorbed & (
+                prev(~ws) | prev(absorbed) | (idx == 0)
+            )
+            nextrn_l = _nextpos_m(rn & ~absorbed, idx, mI)
+            is_last_rn = rn & ~absorbed & (_shl(nextrn_l, 1, mI) >= rend)
+            b_after_rn = ws & prev(is_last_rn)
+            in_tail = ws & ~rn & ~absorbed & (nextrn_l >= rend)
+            tail_start = in_tail & ~prev(in_tail)
+            tail_start_pos = jnp.where(in_tail, _prevpos(tail_start, idx), -1)
+            at_last = in_tail & (idx == rend - 1) & (rend < mI)
+            eligible = at_last & ((nxt(wd) & ~rn) | (sp & nxt(pu_re)))
+            b_ws_split = at_last & (tail_start_pos >= 0) & (
+                idx > tail_start_pos
+            )
+            bound_into = prev(eligible)
+            b_ws = (ws_entry | b_after_rn | b_ws_split) & ws
+            return b_ws, bound_into
+
+        absorbed = jnp.zeros((N,), jnp.bool_)
+        for _ in range(4):
+            a4_covered, cover_from = a4_cover(
+                jnp.zeros((N,), jnp.bool_), absorbed
+            )
+            absorbed = absorption(a4_covered)
+        _, bound_into0 = ws_rules(absorbed)
+        for _ in range(4):
+            a4_covered, cover_from = a4_cover(bound_into0, absorbed)
+            absorbed = absorption(a4_covered)
+        flow_marks = mark & _ffill_bool_at_j(
+            ~mark, a4_covered & PUx & ~absorbed
+        )
+        b_ws, bound_into = ws_rules(absorbed)
+
+        if not contractions:
+            break
+        # ---- contraction absorption ------------------------------------
+        word_end_char = (wd & ~mark) | (
+            mark & ~(flow_marks | (a4_covered & mark))
+        )
+        ct2 = apo & prev(word_end_char) & fold_one
+        ct3 = apo & prev(word_end_char) & fold_two & ~fold_one
+        exact2 = ~nxt(wd, 2)
+        exact3 = ~nxt(wd, 3)
+        accept = _ct_chain_accept(ct2, ct3, exact2, exact3, N)
+        ct2 = ct2 & accept
+        ct3 = ct3 & accept
+
+    ct_any = ct2 | ct3
+    absorbed_letters = prev(ct2) | prev(ct3) | prev(ct3, 2)
+    forced_entry = wd & (prev(ct2, 2) | prev(ct3, 3)) & ~absorbed_letters
+
+    # ================= boundary rules =====================================
+    b_num = num & (((idx - reg_start) % 3) == 0)
+
+    # absorbed letters end the preceding piece: the word rules' run
+    # restarts after them (lockstep with scanner_ref)
+    wd_start = _prevpos(~wd | absorbed_letters, idx) + 1
+    pL = _prevpos(L, idx)
+    pU = _prevpos(U, idx)
+    nL = _nextpos_m(L, idx, mI)
+    nO = _nextpos_m(O, idx, mI)
+    wd_end = _nextpos_m(~wd, idx, mI)
+    p_prev_L = _shr(pL, 1, jnp.int32(-1))
+    p_prev_U = _shr(pU, 1, jnp.int32(-1))
+    r1 = U & (p_prev_L > p_prev_U) & (p_prev_L >= wd_start)
+    r2 = U & prev(O) & (nO >= wd_end) & (nL >= wd_end) & ~r1
+
+    b_wd = (r1 | r2 | forced_entry) & ~absorbed_letters & ~flow_marks
+    b_wd = b_wd | (wd & ~mark & prev(flow_marks))
+
+    # ---- PU interior: alternation entries ----------------------------------
+    PUx = pu_re & ~wd & ~ct_any
+    purc = PUx | mark
+    pur_alt = PUx & prev(mark) & (idx > pur_start) & (
+        ~a4_covered | (idx == cover_from)
+    )
+    b_pu = pur_alt & ~absorbed
+
+    # ---- assemble ------------------------------------------------------------
+    base = b_ws | b_num | b_wd | b_pu
+    base = base | (newreg & ~ws & ~purc & valid)
+    base = base | (purc & (idx == pur_start))
+    base = base | (purc & ~absorbed & prev(absorbed))
+
+    sup = absorbed | flow_marks | absorbed_letters | bound_into | ct_any
+    word_attached_mark = mark & _ffill_bool_at_j(~mark, wd & ~mark)
+    sup = sup | (word_attached_mark & ~forced_entry)
+
+    p1 = ~(rn | let | num) & valid
+    base_start = jnp.where(
+        ws, base & ~sup,
+        jnp.where(num, base, jnp.where(purc & ~wd, base & ~sup, False)),
+    ).astype(jnp.bool_)
+    prefix_bind = wd & prev(base_start & p1 & ~wd & ~absorbed_letters)
+    sup = sup | prefix_bind
+
+    starts = base & ~sup & valid
+    starts = starts.at[0].set(mI > 0)
+    return starts
+
+
 @jax.jit
 def compact_pieces(starts, byte_of_char, nbytes):
     """Compact char-level start flags into piece (start, len) byte arrays."""
@@ -478,6 +802,9 @@ _match_lengths_j = jax.jit(
     match_lengths_jax, static_argnames=("contractions", "profile")
 )
 _chain_starts_j = jax.jit(chain_starts)
+_piece_starts_j = jax.jit(
+    piece_starts_jax, static_argnames=("contractions", "profile")
+)
 
 
 def scan_bytes(
@@ -497,8 +824,28 @@ def scan_bytes(
     cp, _, byte_of_char, m = _utf8_decode_j(
         data, nbytes, use_pallas=use_pallas
     )
+    starts = compute_starts(
+        cp, m, page_ids, pages, contractions=contractions, profile=profile
+    )
+    return compact_pieces(starts, byte_of_char, nbytes)
+
+
+def compute_starts(
+    cp: jnp.ndarray, m: jnp.ndarray, page_ids: jnp.ndarray,
+    pages: jnp.ndarray, *, contractions: bool = True,
+    profile: str | None = None,
+) -> jnp.ndarray:
+    """Char-level piece-start flags for any profile (staged jits).
+
+    llama4/nocontract use the boundary-local derivation (scans and static
+    shifts only — no pointer-chase, no large-array gathers); profiles
+    without one fall back to match_lengths + pointer-doubling chain."""
+    eff = profile or ("llama4" if contractions else "nocontract")
+    if eff in ("llama4", "nocontract"):
+        return _piece_starts_j(
+            cp, m, page_ids, pages, contractions=contractions, profile=profile
+        )
     lens = _match_lengths_j(
         cp, m, page_ids, pages, contractions=contractions, profile=profile
     )
-    starts = _chain_starts_j(lens, m)
-    return compact_pieces(starts, byte_of_char, nbytes)
+    return _chain_starts_j(lens, m)

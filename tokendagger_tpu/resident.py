@@ -127,10 +127,9 @@ def run_resident(
 
     def pipeline(dev, nb):
         cp, _, boc, m = PT._utf8_decode_j(dev, nb, use_pallas=False)
-        lens = PT._match_lengths_j(
+        starts = PT.compute_starts(
             cp, m, page_ids, pages, contractions=True, profile="llama4"
         )
-        starts = PT._chain_starts_j(lens, m)
         if miss_mode == "host":
             sb, pl, k0, k1, k2, k3, npc = compact_piece_keys(
                 starts, boc, dev, nb, p_cap

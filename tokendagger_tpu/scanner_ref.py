@@ -647,7 +647,10 @@ def _piece_starts_llama(cp: np.ndarray, *, contractions: bool) -> np.ndarray:
     b_num = num & (((idx - reg_start) % 3) == 0)
 
     # ---- WD runs ------------------------------------------------------------
-    wd_start = _prevpos(~wd, idx) + 1
+    # contraction-absorbed letters end the preceding piece, so the word
+    # rules' run restarts after them (the absorbed 're of x're must not act
+    # as an L-kind predecessor for the next piece's case analysis)
+    wd_start = _prevpos(~wd | absorbed_letters, idx) + 1
     pL = _prevpos(L, idx)
     pU = _prevpos(U, idx)
     nL = _nextpos(L, idx, n)
