@@ -114,6 +114,9 @@ class HostEngine:
         self._special_lengths = sorted(
             {len(t) for t in self.special_tokens}, reverse=True
         )
+        # canonical allow-all set: callers passing this exact object skip
+        # the per-call O(|specials|) membership validation
+        self.all_specials: frozenset[str] = frozenset(self.special_tokens)
 
     # ------------------------------------------------------------------
     # Pretokenization
@@ -279,9 +282,10 @@ class HostEngine:
         matching the cached-position scan semantics of the reference
         (tiktoken.cpp:130-154) via the single-pass scanner above. Raises
         KeyError on unknown allowed token."""
-        for tok in allowed:
-            if tok not in self.special_tokens:
-                raise KeyError(f"Unknown special token: {tok!r}")
+        if allowed is not self.all_specials:
+            for tok in allowed:
+                if tok not in self.special_tokens:
+                    raise KeyError(f"Unknown special token: {tok!r}")
         start = 0
         for pos, tok in self.find_all_specials(text, allowed):
             if start < pos:

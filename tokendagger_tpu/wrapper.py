@@ -490,11 +490,16 @@ class Tokenizer:
     # ------------------------------------------------------------------
     def _resolve_special(self, allowed, disallowed):
         if allowed == "all":
-            allowed = set(self._special_tokens.keys())
+            # the host engine's canonical frozenset: passing this exact
+            # object downstream skips per-call re-validation of all 1,134
+            # Llama-4 specials
+            allowed = self._host.all_specials
         else:
             allowed = set(allowed)
         if disallowed == "all":
-            if allowed:
+            if allowed is self._host.all_specials:
+                disallowed = frozenset()
+            elif allowed:
                 disallowed = set(self._special_tokens.keys()) - allowed
             else:
                 disallowed = self._all_specials_frozen
