@@ -532,48 +532,41 @@ def _ffill_bool_at_j(sample: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
     return (c >= 0) & ((c & 1) == 1)
 
 
-_CT_IDENT = 0 | (1 << 2) | (2 << 4) | (3 << 6)        # f(s) = s
-_CT_DECAY = 3 | (0 << 2) | (1 << 4) | (3 << 6)        # r0->none, r1->r0, r2->r1
-_CT_COMPOSE: np.ndarray | None = None
-
-
-def _ct_compose_table() -> np.ndarray:
-    """C[g*256+f] = code of g∘f (apply f first) over the 4-state
-    contraction automaton; states 0..2 = suffix_end at i+state, 3 = none."""
-    global _CT_COMPOSE
-    if _CT_COMPOSE is None:
-        g = np.arange(256, dtype=np.uint32)[:, None]
-        f = np.arange(256, dtype=np.uint32)[None, :]
-        out = np.zeros((256, 256), dtype=np.uint32)
-        for s in range(4):
-            fs = (f >> (2 * s)) & 3
-            gfs = (g >> (2 * fs)) & 3
-            out |= gfs << (2 * s)
-        _CT_COMPOSE = out.astype(np.uint8).reshape(-1)
-    return _CT_COMPOSE
-
-
 def _ct_chain_accept(
     ct2: jnp.ndarray, ct3: jnp.ndarray, exact2: jnp.ndarray,
     exact3: jnp.ndarray, N: int,
 ) -> jnp.ndarray:
     """Acceptance flags for the sequential candidate walk in
     scanner_ref._piece_starts_llama (a candidate starting exactly at the
-    previous accepted candidate's suffix end is rejected)."""
-    cand = ct2 | ct3
-    ln_m1 = jnp.where(ct3, 2, 1)                       # ln - 1
-    exact = jnp.where(ct3, exact3, exact2)
-    a = jnp.where(exact, ln_m1, 3).astype(jnp.int32)
-    cand_code = 3 | (a << 2) | (a << 4) | (a << 6)
-    f = jnp.where(cand, cand_code, _CT_DECAY).astype(jnp.int32)
+    previous accepted candidate's suffix end is rejected).
 
-    C = jnp.asarray(_ct_compose_table())
-    rounds = max(1, int(np.ceil(np.log2(max(2, N)))))
-    for k in range(rounds):
-        fsh = _shr(f, 1 << k, _CT_IDENT)
-        f = C[(f << 8) | fsh].astype(jnp.int32)
-    instate = (_shr(f, 1, _CT_IDENT) >> 6) & 3         # P[i-1] applied to none
-    return cand & (instate != 0)
+    The walk keeps at most ONE pending suffix end, overwritten at every
+    candidate — so rejection at b depends only on the immediately
+    preceding candidate a: rej(b) = acc(a) & exact(a) & b == a + ln(a).
+    A candidate strictly between a and a+ln(a) voids the link (it
+    overwrites the pending end), and candidates are never adjacent
+    (an apostrophe cannot follow a word-end apostrophe), so the link is a
+    static-shift predicate. Maximal neighbor-linked runs then alternate
+    accept/reject from their first member: parity of the candidate index
+    relative to the latest chain start — one cumsum + one forward fill."""
+    cand = ct2 | ct3
+    # b linked from a=b-2 (ln 2) unless a candidate sits at b-1;
+    # from a=b-3 (ln 3) unless one sits at b-1 or b-2
+    link_in = cand & (
+        (_shr(ct2 & exact2, 2, False) & ~_shr(cand, 1, False))
+        | (
+            _shr(ct3 & exact3, 3, False)
+            & ~_shr(cand, 1, False)
+            & ~_shr(cand, 2, False)
+        )
+    )
+    cidx = jnp.cumsum(cand.astype(jnp.int32))
+    chain_start = cand & ~link_in
+    start_cidx = jax.lax.cummax(
+        jnp.where(chain_start, cidx, -1), axis=0
+    )
+    rej = cand & (((cidx - start_cidx) & 1) == 1)
+    return cand & ~rej
 
 
 def piece_starts_jax(
