@@ -83,12 +83,18 @@ def _build_pymod() -> Path | None:
     tmp = out.with_suffix(f".tmp{os.getpid()}.so")
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        f"-I{inc}", str(_SRC), str(_PYSRC), "-o", str(tmp),
+        "-fopenmp", f"-I{inc}", str(_SRC), str(_PYSRC), "-o", str(tmp),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=180)
     except (OSError, subprocess.SubprocessError):
-        return None
+        try:  # toolchains without OpenMP: encode_batch_lists runs serial
+            subprocess.run(
+                [c for c in cmd if c != "-fopenmp"],
+                check=True, capture_output=True, timeout=180,
+            )
+        except (OSError, subprocess.SubprocessError):
+            return None
     os.replace(tmp, out)
     return out
 
@@ -255,6 +261,12 @@ class NativeEngine:
                         self._py_cap, self._vocab_blob, self._vocab_offs,
                         self._vocab_lens, self._vocab_ranks, len(ranks),
                     )
+                    # shared immortal PyLongs for every possible ordinary id:
+                    # list materialization then allocates nothing per token
+                    # (see tdpy.cpp prime_longs for why this matters at
+                    # corpus scale)
+                    if hasattr(mod, "prime_longs"):
+                        mod.prime_longs(int(self._vocab_ranks.max()) + 1)
                 self._py = mod
             except Exception:  # noqa: BLE001
                 self._py = None
@@ -297,6 +309,25 @@ class NativeEngine:
         if not data:
             return []
         return self._py.encode_list(self._py_cap, data)
+
+    def encode_batch_lists(
+        self, datas: list[bytes], num_threads: int = 8
+    ) -> list[list[int]] | None:
+        """Batch-encode segments into Python lists in one extension call:
+        GIL-free OpenMP encode of every text, then a single materialization
+        pass from the shared PyLong cache. None => caller must fall back."""
+        if self._py is None or not hasattr(self._py, "encode_batch_lists"):
+            return None
+        n_texts = len(datas)
+        if n_texts == 0:
+            return []
+        offs = np.zeros(n_texts + 1, dtype=np.int64)
+        lens = np.fromiter((len(d) for d in datas), dtype=np.int64, count=n_texts)
+        np.cumsum(lens, out=offs[1:])
+        blob = b"".join(datas)
+        return self._py.encode_batch_lists(
+            self._py_cap, blob, offs, n_texts, num_threads
+        )
 
     def encode_batch(
         self, datas: list[bytes], num_threads: int = 8

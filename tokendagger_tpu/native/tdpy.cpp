@@ -24,9 +24,45 @@ void td_set_vocab(void*, const uint8_t*, const int64_t*, const int32_t*,
                   const int32_t*, int64_t);
 int64_t td_scan(const void*, const uint8_t*, int64_t, int32_t*, int64_t);
 int64_t td_encode(const void*, const uint8_t*, int64_t, int32_t*, int64_t);
+int64_t td_encode_batch(const void*, const uint8_t*, const int64_t*, int64_t,
+                        int32_t*, int64_t*, int);
 }
 
 namespace {
+
+// Immortal id->PyLong cache. Token ids are dense and bounded by the vocab
+// size, so result lists are materialized from shared PyLong objects
+// (INCREF + SET_ITEM) instead of allocating a fresh PyLong per token.
+// Beyond ~30M alive small objects, CPython's object allocator degrades
+// hard (measured on this VM: 77 -> 950 ns per fresh PyLong once a few GB
+// of ids are held by the caller, the GB-corpus wall in docs/PERF.md);
+// shared ints hold a flat rate at any scale, and cut result memory from
+// ~36 to 8 bytes per token. Ints are immutable so sharing is invisible
+// (CPython itself does this for -5..256). Cache entries are never freed.
+PyObject** g_longs = nullptr;
+Py_ssize_t g_nlongs = 0;
+constexpr Py_ssize_t kMaxLongCache = 1 << 22;  // 4M ids ~ 117 MB cap
+
+// tdpy.prime_longs(n): ensure ids [0, n) are cached. Called under the GIL.
+PyObject* py_prime_longs(PyObject*, PyObject* args) {
+  long long n;
+  if (!PyArg_ParseTuple(args, "L", &n)) return nullptr;
+  if (n > kMaxLongCache) n = kMaxLongCache;
+  if (n <= g_nlongs) Py_RETURN_NONE;
+  PyObject** grown =
+      (PyObject**)PyMem_Realloc(g_longs, sizeof(PyObject*) * n);
+  if (!grown) return PyErr_NoMemory();
+  g_longs = grown;
+  for (Py_ssize_t i = g_nlongs; i < n; ++i) {
+    g_longs[i] = PyLong_FromSsize_t(i);
+    if (!g_longs[i]) {
+      g_nlongs = i;
+      return nullptr;
+    }
+  }
+  g_nlongs = n;
+  Py_RETURN_NONE;
+}
 
 void capsule_destructor(PyObject* cap) {
   void* h = PyCapsule_GetPointer(cap, "tdpy.engine");
@@ -115,11 +151,18 @@ PyObject* py_encode_list(PyObject*, PyObject* args) {
     return nullptr;
   }
   for (int64_t i = 0; i < count; ++i) {
-    PyObject* v = PyLong_FromLong(out[i]);
-    if (!v) {
-      Py_DECREF(list);
-      PyMem_Free(out);
-      return nullptr;
+    int32_t id = out[i];
+    PyObject* v;
+    if ((uint32_t)id < (uint32_t)g_nlongs) {
+      v = g_longs[id];
+      Py_INCREF(v);
+    } else {
+      v = PyLong_FromLong(id);
+      if (!v) {
+        Py_DECREF(list);
+        PyMem_Free(out);
+        return nullptr;
+      }
     }
     PyList_SET_ITEM(list, i, v);
   }
@@ -132,11 +175,109 @@ PyObject* py_encode_list(PyObject*, PyObject* args) {
   return list;
 }
 
+// tdpy.encode_batch_lists(capsule, blob: bytes, offs: int64 buffer,
+//                         n_texts, nthreads) -> list[list[int]] | None
+//
+// The list-mode throughput path: ALL texts are encoded in one GIL-free
+// OpenMP region (the ThreadPoolExecutor equivalent without Python threads
+// or GIL handoffs), then every result list is materialized in a single
+// pass from the shared PyLong cache. This keeps the GIL-serialized part
+// at a few ns/token, so list-mode batch throughput scales with cores the
+// way the reference's GIL-released pybind11 calls do
+// (/root/reference/src/py_binding.cpp:26-44 — behavior studied, written
+// fresh).
+PyObject* py_encode_batch_lists(PyObject*, PyObject* args) {
+  PyObject* cap;
+  Py_buffer data, offs;
+  long long n_texts;
+  int nthreads;
+  if (!PyArg_ParseTuple(args, "Oy*y*Li", &cap, &data, &offs, &n_texts,
+                        &nthreads))
+    return nullptr;
+  void* h = PyCapsule_GetPointer(cap, "tdpy.engine");
+  if (!h || (Py_ssize_t)(sizeof(int64_t) * (n_texts + 1)) > offs.len) {
+    if (h) PyErr_SetString(PyExc_ValueError, "offs buffer too small");
+    PyBuffer_Release(&data);
+    PyBuffer_Release(&offs);
+    return nullptr;
+  }
+  const int64_t* off = (const int64_t*)offs.buf;
+  int64_t total = off[n_texts];
+  int32_t* out = (int32_t*)PyMem_Malloc(sizeof(int32_t) * (total ? total : 1));
+  int64_t* counts =
+      (int64_t*)PyMem_Malloc(sizeof(int64_t) * (n_texts ? n_texts : 1));
+  if (!out || !counts) {
+    PyMem_Free(out);
+    PyMem_Free(counts);
+    PyBuffer_Release(&data);
+    PyBuffer_Release(&offs);
+    return PyErr_NoMemory();
+  }
+  int64_t err;
+  Py_BEGIN_ALLOW_THREADS
+  err = td_encode_batch(h, (const uint8_t*)data.buf, off, n_texts, out,
+                        counts, nthreads);
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&data);
+  PyBuffer_Release(&offs);
+  if (err < 0) {
+    PyMem_Free(out);
+    PyMem_Free(counts);
+    if (err == -2) Py_RETURN_NONE;  // vocab not installed: signal fallback
+    PyErr_SetString(PyExc_RuntimeError, "td_encode_batch failed");
+    return nullptr;
+  }
+  PyObject* outer = PyList_New(n_texts);
+  if (!outer) {
+    PyMem_Free(out);
+    PyMem_Free(counts);
+    return nullptr;
+  }
+  for (int64_t t = 0; t < n_texts; ++t) {
+    int64_t cnt = counts[t];
+    PyObject* list = PyList_New(cnt);
+    if (!list) {
+      Py_DECREF(outer);
+      PyMem_Free(out);
+      PyMem_Free(counts);
+      return nullptr;
+    }
+    const int32_t* ids = out + off[t];
+    for (int64_t i = 0; i < cnt; ++i) {
+      int32_t id = ids[i];
+      PyObject* v;
+      if ((uint32_t)id < (uint32_t)g_nlongs) {
+        v = g_longs[id];
+        Py_INCREF(v);
+      } else {
+        v = PyLong_FromLong(id);
+        if (!v) {
+          Py_DECREF(list);
+          Py_DECREF(outer);
+          PyMem_Free(out);
+          PyMem_Free(counts);
+          return nullptr;
+        }
+      }
+      PyList_SET_ITEM(list, i, v);
+    }
+    PyObject_GC_UnTrack(list);  // holds only ints; see encode_list
+    PyList_SET_ITEM(outer, t, list);
+  }
+  PyMem_Free(out);
+  PyMem_Free(counts);
+  return outer;
+}
+
 PyMethodDef methods[] = {
     {"create", py_create, METH_VARARGS, "create engine"},
     {"set_vocab", py_set_vocab, METH_VARARGS, "install vocab hash"},
     {"encode_list", py_encode_list, METH_VARARGS,
      "encode bytes -> list of token ids (GIL-free encode)"},
+    {"prime_longs", py_prime_longs, METH_VARARGS,
+     "pre-build shared PyLongs for ids [0, n)"},
+    {"encode_batch_lists", py_encode_batch_lists, METH_VARARGS,
+     "batch encode -> list of id lists (OpenMP, one GIL-free region)"},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -259,6 +259,11 @@ class Tokenizer:
         native = self._get_native()
         if native is not None and not allowed and native._py is not None:
             datas = [t.encode("utf-8") for t in text]
+            # one extension call: OpenMP GIL-free encode of every text +
+            # single-pass list materialization from the shared PyLong cache
+            lists = native.encode_batch_lists(datas, num_threads)
+            if lists is not None:
+                return lists
             with ThreadPoolExecutor(num_threads) as e:
                 lists = list(e.map(native.encode_list, datas))
             if all(x is not None for x in lists):
