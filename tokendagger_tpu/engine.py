@@ -468,8 +468,72 @@ class DeviceEngine:
         return np.concatenate(out)
 
     def encode_streams(self, segments: list[bytes]) -> list[np.ndarray]:
-        """Ordinary-encode each byte segment via the device pipeline."""
-        return [self.encode_stream(s) for s in segments]
+        """Ordinary-encode each byte segment via the device pipeline.
+
+        Short segments are packed into fixed-shape (rows, width) grids and
+        resolved many-per-dispatch (ops/batched.py — vmapped scan stages +
+        flattened vocab probe); long segments take the windowed stream
+        path. Both are bit-exact, so routing is purely a batching choice."""
+        from .ops.batched import ROW_WIDTHS
+
+        out: list[np.ndarray | None] = [None] * len(segments)
+        small: list[tuple[int, bytes]] = []
+        for i, s in enumerate(segments):
+            if not s:
+                out[i] = np.zeros(0, dtype=np.int64)
+            elif len(s) <= ROW_WIDTHS[-1]:
+                small.append((i, s))
+        if len(small) >= 4:  # grids only pay off with several rows
+            self._encode_small_batched(small, out)
+        # (fewer: out[i] stays None and the stream path below takes them)
+        for i, s in enumerate(segments):
+            if out[i] is None:
+                out[i] = self.encode_stream(s)
+        return out  # type: ignore[return-value]
+
+    def _encode_small_batched(
+        self,
+        items: list[tuple[int, bytes]],
+        out: list[np.ndarray | None],
+    ) -> None:
+        """Resolve (index, segment) pairs through (B, W) grids, bucketed by
+        width; results land in ``out`` at each segment's index."""
+        from .ops.batched import ROW_WIDTHS, grid_rows, resolve_grid
+
+        by_width: dict[int, list[tuple[int, bytes]]] = {
+            w: [] for w in ROW_WIDTHS
+        }
+        for i, s in items:
+            for w in ROW_WIDTHS:
+                if len(s) <= w:
+                    by_width[w].append((i, s))
+                    break
+        for w, group in by_width.items():
+            if not group:
+                continue
+            B = grid_rows(w)
+            for lo in range(0, len(group), B):
+                batch = group[lo : lo + B]
+                buf = np.zeros((B, w), dtype=np.uint8)
+                lens = np.zeros(B, dtype=np.int32)
+                for r, (_, s) in enumerate(batch):
+                    buf[r, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+                    lens[r] = len(s)
+                flat, total, ms_s, ms_l, n_ms = resolve_grid(
+                    buf, lens,
+                    page_ids=self._page_ids, pages=self._pages,
+                    vhash_rows=self._vhash_rows,
+                    vhash_mask=self.tables.vhash_mask,
+                    contractions=self._contractions, profile=self._profile,
+                )
+                for r, (i, s) in enumerate(batch):
+                    ids = flat[r, : total[r]].astype(np.int64)
+                    k = int(n_ms[r])
+                    if k:
+                        ids = self._splice_oversize(
+                            ids, s, ms_s[r], ms_l[r], k
+                        )
+                    out[i] = ids
 
     # ==================================================================
     # Piece path (host split fallback; exact for any pattern)
