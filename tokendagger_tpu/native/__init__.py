@@ -83,7 +83,8 @@ def _build_pymod() -> Path | None:
     tmp = out.with_suffix(f".tmp{os.getpid()}.so")
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-fopenmp", f"-I{inc}", str(_SRC), str(_PYSRC), "-o", str(tmp),
+        "-fopenmp", "-pthread", f"-I{inc}", str(_SRC), str(_PYSRC),
+        "-o", str(tmp),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=180)

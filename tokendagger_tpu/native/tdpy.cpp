@@ -14,7 +14,11 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <atomic>
+#include <chrono>
 #include <cstdint>
+#include <thread>
+#include <vector>
 
 extern "C" {
 void* td_create(const uint8_t*, const int8_t*, const int32_t*, int64_t,
@@ -213,34 +217,42 @@ PyObject* py_encode_batch_lists(PyObject*, PyObject* args) {
     PyBuffer_Release(&offs);
     return PyErr_NoMemory();
   }
-  int64_t err;
-  Py_BEGIN_ALLOW_THREADS
-  err = td_encode_batch(h, (const uint8_t*)data.buf, off, n_texts, out,
-                        counts, nthreads);
-  Py_END_ALLOW_THREADS
-  PyBuffer_Release(&data);
-  PyBuffer_Release(&offs);
-  if (err < 0) {
-    PyMem_Free(out);
-    PyMem_Free(counts);
-    if (err == -2) Py_RETURN_NONE;  // vocab not installed: signal fallback
-    PyErr_SetString(PyExc_RuntimeError, "td_encode_batch failed");
-    return nullptr;
-  }
+  // Overlap pipeline: a worker thread runs the GIL-free OpenMP encode of
+  // all texts; this (GIL-holding) thread materializes each text's result
+  // list as soon as its flag flips. Wall time becomes
+  // max(parallel encode, serial materialize) instead of their sum; the
+  // encode threads never touch Python state, so holding the GIL while
+  // building lists steals nothing from them.
+  std::vector<std::atomic<uint8_t>> done(n_texts);
+  for (auto& d : done) d.store(0, std::memory_order_relaxed);
+  std::atomic<int64_t> err{0};
+  const uint8_t* base = (const uint8_t*)data.buf;
+  std::thread worker([&] {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1) num_threads(nthreads)
+#endif
+    for (int64_t i = 0; i < n_texts; ++i) {
+      int64_t n = off[i + 1] - off[i];
+      int64_t r = td_encode(h, base + off[i], n, out + off[i], n);
+      counts[i] = r >= 0 ? r : 0;
+      if (r < 0) err.store(r, std::memory_order_relaxed);
+      done[i].store(1, std::memory_order_release);
+    }
+  });
+
   PyObject* outer = PyList_New(n_texts);
-  if (!outer) {
-    PyMem_Free(out);
-    PyMem_Free(counts);
-    return nullptr;
-  }
-  for (int64_t t = 0; t < n_texts; ++t) {
+  bool failed = outer == nullptr;
+  for (int64_t t = 0; t < n_texts && !failed; ++t) {
+    while (!done[t].load(std::memory_order_acquire)) {
+      Py_BEGIN_ALLOW_THREADS
+      std::this_thread::sleep_for(std::chrono::microseconds(50));
+      Py_END_ALLOW_THREADS
+    }
     int64_t cnt = counts[t];
     PyObject* list = PyList_New(cnt);
     if (!list) {
-      Py_DECREF(outer);
-      PyMem_Free(out);
-      PyMem_Free(counts);
-      return nullptr;
+      failed = true;
+      break;
     }
     const int32_t* ids = out + off[t];
     for (int64_t i = 0; i < cnt; ++i) {
@@ -253,19 +265,34 @@ PyObject* py_encode_batch_lists(PyObject*, PyObject* args) {
         v = PyLong_FromLong(id);
         if (!v) {
           Py_DECREF(list);
-          Py_DECREF(outer);
-          PyMem_Free(out);
-          PyMem_Free(counts);
-          return nullptr;
+          failed = true;
+          break;
         }
       }
       PyList_SET_ITEM(list, i, v);
     }
+    if (failed) break;
     PyObject_GC_UnTrack(list);  // holds only ints; see encode_list
     PyList_SET_ITEM(outer, t, list);
   }
+  Py_BEGIN_ALLOW_THREADS
+  worker.join();
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&data);
+  PyBuffer_Release(&offs);
   PyMem_Free(out);
   PyMem_Free(counts);
+  int64_t e = err.load(std::memory_order_relaxed);
+  if (failed) {
+    Py_XDECREF(outer);
+    return nullptr;
+  }
+  if (e < 0) {
+    Py_DECREF(outer);
+    if (e == -2) Py_RETURN_NONE;  // vocab not installed: signal fallback
+    PyErr_SetString(PyExc_RuntimeError, "td_encode_batch failed");
+    return nullptr;
+  }
   return outer;
 }
 
