@@ -1,17 +1,17 @@
 """Device tokenization engine: batch orchestration around the TPU kernels.
 
-Two device paths:
+Three device paths:
 
-**Stream path** (patterns in the supported tiktoken family — Llama-4 and
-Tekken): the raw byte stream goes to the device once; the pretokenizer scan
-(ops/pretokenize.py) and the BPE merge (ops/encode_pipeline.py) both run on
-device. The host only bins piece indices into width buckets (vectorized
-numpy) and assembles flat id arrays. Pipeline per segment:
+**Stream path** (patterns in the supported tiktoken family): long byte
+segments run through fixed-shape windows with the join-first resolver
+(ops/fused.py) — device scan (ops/pretokenize.py), key compaction +
+whole-piece vocab probe (ops/join.py), finalize; misses emit SENTINEL
+slots spliced exactly on the host. Safe-cut logic drops window-edge
+pieces for re-scan in the next window.
 
-  bytes → [device] scan → (starts, lens, n_pieces)
-        → [host]   width-bucket binning (numpy)
-        → [device] gather rows from the stream + row-parallel merge
-        → [host]   flat assembly via cumsum scatter (numpy)
+**Batched grid path** (ops/batched.py): many short complete segments
+pack into (rows, width) grids resolved a-batch-per-dispatch via vmapped
+scan stages; no windowing or safe cuts apply.
 
 **Piece path** (fallback for arbitrary regex patterns): host regex split,
 pieces packed into bucketed rows, device merge. Exact for any pattern.
@@ -194,117 +194,6 @@ class DeviceEngine:
             # byte offset of run_start_char within the tail
             run_start_b = t0 + len(tail[:run_start_char].encode("utf-8"))
             return max(0, run_start_b - CUT_SLACK)
-
-    def _scan_window(self, window: bytes, is_final: bool):
-        """Device-scan one window; return (starts, lens, consumed_bytes).
-
-        For non-final windows, trailing pieces that could be affected by
-        unseen bytes are dropped and re-scanned in the next window.
-        """
-        jnp = self._jnp
-        from .ops.pretokenize import scan_bytes
-
-        n = len(window)
-        N = next(s for s in SCAN_SIZES if s >= n)
-        buf = np.zeros(N, dtype=np.uint8)
-        buf[:n] = np.frombuffer(window, dtype=np.uint8)
-        dev = jnp.asarray(buf)
-        start_b, piece_len, n_pieces = scan_bytes(
-            dev,
-            jnp.int32(n),
-            self._page_ids,
-            self._pages,
-            contractions=self._contractions,
-            profile=self._profile,
-            use_pallas=self._use_pallas,
-        )
-        k = int(n_pieces)
-        if k == 0:
-            return dev, np.zeros(0, np.int32), np.zeros(0, np.int32), n
-        starts = np.asarray(start_b[:k])
-        lens = np.asarray(piece_len[:k])
-        if is_final:
-            return dev, starts, lens, n
-        rs = self._safe_cut_threshold(window)
-        ends = starts + lens
-        keep = ends <= rs
-        kk = int(np.count_nonzero(keep))
-        if kk == 0:
-            return dev, starts[:0], lens[:0], 0  # caller grows the window
-        consumed = int(ends[kk - 1])
-        return dev, starts[:kk], lens[:kk], consumed
-
-    def _merge_pieces(self, data: bytes, dev, starts: np.ndarray,
-                      lens: np.ndarray) -> np.ndarray:
-        """Device-merge scanned pieces (fixed-shape batches); returns the
-        flat id array for these pieces in order."""
-        jnp = self._jnp
-        from .ops.encode_pipeline import gather_merge_flat
-
-        k = len(starts)
-        if k == 0:
-            return np.zeros(0, dtype=np.int64)
-
-        launches = []  # (rows_idx, flat_dev, counts_dev, total_dev)
-        prev_w = 0
-        for w in BUCKET_WIDTHS:
-            sel = np.nonzero((lens > prev_w) & (lens <= w))[0]
-            prev_w = w
-            if len(sel) == 0:
-                continue
-            for lo in range(0, len(sel), MERGE_ROWS):
-                rows = sel[lo : lo + MERGE_ROWS]
-                R = MERGE_ROWS if len(rows) > 512 else 512
-                s = np.zeros(R, dtype=np.int32)
-                l = np.zeros(R, dtype=np.int32)
-                s[: len(rows)] = starts[rows]
-                l[: len(rows)] = lens[rows]
-                bflat, counts, btotal = gather_merge_flat(
-                    dev,
-                    jnp.asarray(s),
-                    jnp.asarray(l),
-                    self._byte_rank,
-                    self._pair_rows,
-                    self._pair_mask,
-                    w,
-                    self._pair_lut,
-                    self._use_pallas,
-                )
-                launches.append((rows, bflat, counts, btotal))
-        ovf = np.nonzero(lens > BUCKET_WIDTHS[-1])[0]
-        overflow_rows = [
-            (int(r), byte_pair_merge(
-                data[starts[r] : starts[r] + lens[r]], self.ranks
-            ))
-            for r in ovf
-        ]
-
-        all_counts = np.zeros(k, dtype=np.int64)
-        blocks = []
-        for rows, bflat, counts, btotal in launches:
-            # transfer only the live prefix of the device flat array
-            bt = int(btotal)
-            vals = np.asarray(bflat[:bt])
-            cnt_np = np.asarray(counts)[: len(rows)].astype(np.int64)
-            all_counts[rows] = cnt_np
-            blocks.append((rows, vals, cnt_np))
-        for r, ids in overflow_rows:
-            all_counts[r] = len(ids)
-        out_pos = np.zeros(k + 1, dtype=np.int64)
-        np.cumsum(all_counts, out=out_pos[1:])
-        total = int(out_pos[-1])
-        flat = np.empty(total, dtype=np.int64)
-        for rows, vals, cnt_np in blocks:
-            if len(vals) == 0:
-                continue
-            row_base = np.repeat(out_pos[rows], cnt_np)
-            within = np.arange(len(vals)) - np.repeat(
-                np.cumsum(cnt_np) - cnt_np, cnt_np
-            )
-            flat[row_base + within] = vals
-        for r, ids in overflow_rows:
-            flat[out_pos[r] : out_pos[r] + len(ids)] = ids
-        return flat
 
     def _host_advance(self, data: bytes, base: int) -> tuple[np.ndarray, int]:
         """Exact host fallback when a single class run outgrows the largest
