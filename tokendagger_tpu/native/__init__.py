@@ -330,6 +330,23 @@ class NativeEngine:
             self._py_cap, blob, offs, n_texts, num_threads
         )
 
+    def encode_slices_lists(
+        self, blob: bytes, offs: np.ndarray, num_threads: int = 8
+    ) -> list[list[int]] | None:
+        """Like encode_batch_lists but over slices of ONE existing byte
+        blob described by an int64 offsets array (len == n_slices + 1) —
+        no per-chunk copies, no re-join. Used by the intra-text parallel
+        split path (wrapper._encode_split_parallel)."""
+        if self._py is None or not hasattr(self._py, "encode_batch_lists"):
+            return None
+        n = len(offs) - 1
+        if n <= 0:
+            return []
+        return self._py.encode_batch_lists(
+            self._py_cap, blob, np.ascontiguousarray(offs, dtype=np.int64),
+            n, num_threads,
+        )
+
     def encode_batch(
         self, datas: list[bytes], num_threads: int = 8
     ) -> list[np.ndarray] | None:

@@ -140,11 +140,20 @@ class Tokenizer:
                 self._native = None
         return self._native
 
+    # Single texts at least this long are split at provable piece
+    # boundaries and encoded across cores (intra-text parallelism — a
+    # capability the sequential reference engine cannot offer).
+    _SPLIT_MIN_BYTES = 4 << 20
+
     def _host_encode_ordinary(self, text: str) -> list[int]:
         """Ordinary-encode on the host: native engine if available."""
         native = self._get_native()
         if native is not None:
             data = text.encode("utf-8")
+            if len(data) >= self._SPLIT_MIN_BYTES:
+                lst = self._encode_split_parallel(native, data)
+                if lst is not None:
+                    return lst
             lst = native.encode_list(data)  # C-extension: builds the PyList
             if lst is not None:
                 return lst
@@ -152,6 +161,79 @@ class Tokenizer:
             if ids is not None:
                 return ids.tolist()
         return self._host.encode_ordinary(text)
+
+    def _encode_split_parallel(self, native, data: bytes) -> list[int] | None:
+        """Encode ONE long text across cores by cutting it at provable
+        piece boundaries (intra-text parallelism — a capability the
+        reference's sequential engine has no analogue for).
+
+        Two byte-local cut predicates, each provable against all four
+        supported scanner profiles (vocab.py:31-82):
+
+        A) data[p] is an ASCII letter and data[p-1] is \\r or \\n.
+           Every profile's letter alternative excludes \\r\\n from its
+           optional one-char prefix, so no piece can span the newline
+           into the letter; the piece covering the newline (\\s-run or
+           punct run with its [\\r\\n/]* suffix) must end before a
+           letter. The letter therefore starts a fresh piece whose
+           derivation matches a fresh text.
+
+        B) data[p] == ' ', data[p-1] is an ASCII letter or digit, and
+           data[p+1] is an ASCII letter. The letter/number piece ending
+           at p cannot absorb a space; " Y..." is matched by the
+           space-prefixed letter alternative identically at text start
+           and mid-text (a \\s-run cannot reach p from the left because
+           data[p-1] is not whitespace).
+
+        Encoding the chunks independently is therefore byte-identical
+        to encoding the whole; merges never cross piece boundaries.
+        """
+        import os
+
+        n = len(data)
+        # Leave one core for the main thread: it materializes finished
+        # chunks into PyLists (GIL-bound) while workers encode ahead.
+        nthreads = min(16, (os.cpu_count() or 4) - 1)
+        k = nthreads * 4  # chunks > threads: schedule(dynamic) balances
+        if nthreads < 2:
+            return None
+        a = np.frombuffer(data, dtype=np.uint8)
+        # Only ~k cuts are needed; probing a small window after each
+        # target avoids materializing full-length boolean temporaries
+        # (which would cost as much as the encode itself).
+        window = 1 << 16
+        cuts_set = set()
+        for i in range(1, k):
+            t = i * (n // k)
+            stop = min(t + 16 * window, n - 2)  # bounded probe per target
+            while t < stop:
+                w = a[max(t - 1, 0) : min(t - 1 + window, n)]
+                letter = ((w >= 65) & (w <= 90)) | ((w >= 97) & (w <= 122))
+                rule_a = ((w[:-2] == 0x0A) | (w[:-2] == 0x0D)) & letter[1:-1]
+                rule_b = (
+                    (letter[:-2] | ((w[:-2] >= 48) & (w[:-2] <= 57)))
+                    & (w[1:-1] == 0x20)
+                    & letter[2:]
+                )
+                hits = np.nonzero(rule_a | rule_b)[0]
+                if len(hits):
+                    cuts_set.add(t - 1 + int(hits[0]) + 1)
+                    break
+                t += window - 2
+        if not cuts_set:
+            return None
+        cuts = np.array(sorted(cuts_set), dtype=np.int64)
+        offs = np.empty(len(cuts) + 2, dtype=np.int64)
+        offs[0] = 0
+        offs[1:-1] = cuts
+        offs[-1] = n
+        lists = native.encode_slices_lists(data, offs, num_threads=nthreads)
+        if lists is None:
+            return None
+        out = lists[0]
+        for l in lists[1:]:
+            out.extend(l)
+        return out
 
     def _host_encode(self, text: str, allowed: AbstractSet[str]) -> list[int]:
         """Full encode on the host: special scan + native segments."""
