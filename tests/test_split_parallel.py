@@ -94,3 +94,10 @@ def test_slices_lists_equals_batch_lists(tok):
     if a is None or b is None:
         pytest.skip("extension module unavailable")
     assert a == b
+
+
+def test_encode_batch_few_huge_texts(tok, monkeypatch):
+    monkeypatch.setattr(type(tok), "_SPLIT_MIN_BYTES", 1 << 16)
+    texts = [TRICKY * 400, "small one", TRICKY * 150]
+    got = tok.encode_batch(texts)
+    assert got == [tok._host.encode_ordinary(t) for t in texts]

@@ -340,7 +340,30 @@ class Tokenizer:
             return self._get_device().encode_batch(list(text), allowed)
         native = self._get_native()
         if native is not None and not allowed and native._py is not None:
+            import os
+
             datas = [t.encode("utf-8") for t in text]
+            # Fewer huge texts than cores: per-text batch parallelism
+            # can't saturate, so encode each sequentially through the
+            # intra-text split path (full-core parallelism per text).
+            if len(datas) < (os.cpu_count() or 4) and any(
+                len(d) >= self._SPLIT_MIN_BYTES for d in datas
+            ):
+                out: list[list[int]] | None = []
+                for d in datas:
+                    lst = (
+                        self._encode_split_parallel(native, d)
+                        if len(d) >= self._SPLIT_MIN_BYTES
+                        else None
+                    )
+                    if lst is None:
+                        lst = native.encode_list(d)
+                    if lst is None:
+                        out = None
+                        break
+                    out.append(lst)
+                if out is not None:
+                    return out
             # one extension call: OpenMP GIL-free encode of every text +
             # single-pass list materialization from the shared PyLong cache
             lists = native.encode_batch_lists(datas, num_threads)
