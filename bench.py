@@ -122,6 +122,7 @@ def device_resident_main(args) -> None:
     res = run_resident(
         ranks, specials, vocab.LLAMA4_PATTERN, corpus,
         window=args.window, reps=args.runs + 2,
+        batch=args.resident_batch,
     )
     print(json.dumps({
         "metric": "tpu_kernel_throughput_llama4",
@@ -143,6 +144,8 @@ def main() -> None:
     ap.add_argument("--chunk-kb", type=int, default=256)
     ap.add_argument("--window", type=int, default=1 << 20,
                     help="tpu-resident window bytes")
+    ap.add_argument("--resident-batch", type=int, default=8,
+                    help="tpu-resident windows per dispatch (vmapped)")
     ap.add_argument("--threads", type=int,
                     default=min(32, os.cpu_count() or 8))
     args = ap.parse_args()

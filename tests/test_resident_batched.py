@@ -1,0 +1,36 @@
+"""Batched device-resident pipeline (resident.py batch>1).
+
+The batched mode vmaps every stage over a leading window axis so one
+dispatch covers `batch` windows (amortizing the remote runtime's flat
+per-dispatch cost). It must produce ids bit-identical to the host oracle
+for every window in the batch, exactly like the single-window mode.
+Runs on the CPU backend (conftest pins jax to cpu); jit compiles make it
+slow-marked.
+"""
+
+import pathlib
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def test_batched_matches_host(llama4_assets):
+    from tokendagger_tpu.resident import run_resident
+
+    pattern, ranks, specials = llama4_assets
+    lor = pathlib.Path("/root/reference/tests/input/lorem.txt")
+    if not lor.exists():
+        pytest.skip("lorem corpus unavailable")
+    corpus = (lor.read_bytes() * 10)[: 1 << 19]
+    res = run_resident(ranks, specials, pattern, corpus,
+                       window=1 << 16, n_windows=3, reps=1, batch=3)
+    assert res.match_host          # checks all 3 windows in the batch
+    assert res.batch == 3
+    assert res.total_tokens > 0
+
+    res1 = run_resident(ranks, specials, pattern, corpus,
+                        window=1 << 16, n_windows=1, reps=1, batch=1)
+    assert res1.match_host
+    # batch of 3 distinct windows tokenizes ~3x window 0's stream
+    assert res.total_tokens != res1.total_tokens

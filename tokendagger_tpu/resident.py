@@ -31,13 +31,14 @@ class ResidentResult:
     n_windows: int
     reps: int
     calibration_ms: float       # trivial-op dispatch latency
-    device_ms: float            # per-window ON-DEVICE time (profiler trace)
-    kernel_mbps: float          # window_bytes / device_ms
-    stage_us: dict              # per-stage on-device µs per window
-    wall_ms: float              # per-window wall clock incl. final drain
+    device_ms: float            # per-DISPATCH on-device time (trace)
+    kernel_mbps: float          # batch*window_bytes / device_ms
+    stage_us: dict              # per-stage on-device µs per dispatch
+    wall_ms: float              # per-dispatch wall clock incl. final drain
     wall_mbps: float
     total_tokens: int
     match_host: bool            # ids bit-identical to the host oracle
+    batch: int = 1              # windows per dispatch (vmapped stages)
 
     def to_dict(self):
         return asdict(self)
@@ -84,6 +85,7 @@ def run_resident(
     verify: bool = True,
     join_mode: str = "probe",
     miss_mode: str = "host",
+    batch: int = 1,
 ) -> ResidentResult:
     import jax
     import jax.numpy as jnp
@@ -144,6 +146,58 @@ def run_resident(
             miss_mode=miss_mode, **caps,
         )
 
+    if batch > 1:
+        # Batched mode: B windows per dispatch through jit(vmap(stage)).
+        # The remote runtime charges a flat per-dispatch cost that dwarfs
+        # the per-window execution (docs/PERF.md "dispatch cliff"
+        # aftermath: every top-level program in the cycling pipeline pays
+        # a ~30-46 ms image-swap floor). vmapping each STAGE keeps the
+        # program set identical in count/structure but amortizes that
+        # floor over `batch` windows.
+        if miss_mode != "host":
+            raise ValueError("batched resident mode requires miss_mode='host'")
+
+        def dec_stage(d, nb):
+            from .ops.pretokenize import utf8_decode
+
+            return utf8_decode(d, nb, use_pallas=False)
+
+        def starts_stage(cp, m):
+            return PT.piece_starts_jax(
+                cp, m, page_ids, pages, contractions=True, profile="llama4"
+            )
+
+        def compact_stage(st, boc, d, nb):
+            return compact_piece_keys(st, boc, d, nb, p_cap)
+
+        def probe_stage(k0, k1, k2, k3, pl):
+            return vocab_probe(k0, k1, k2, k3, pl, vhash_rows,
+                               tables.vhash_mask)
+
+        def fin_stage(sb, pl, rank, npc):
+            return finalize_host(sb, pl, rank, npc, trim, p_cap=p_cap)
+
+        v_dec = jax.jit(jax.vmap(dec_stage))
+        v_starts = jax.jit(jax.vmap(starts_stage))
+        v_compact = jax.jit(jax.vmap(compact_stage))
+        v_probe = jax.jit(jax.vmap(probe_stage))
+        v_fin = jax.jit(jax.vmap(fin_stage))
+
+        stk_dev = jnp.stack(
+            [wins[i % n_windows][0] for i in range(batch)]
+        )
+        stk_nb = jnp.stack(
+            [wins[i % n_windows][1] for i in range(batch)]
+        )
+        jax.block_until_ready((stk_dev, stk_nb))
+
+        def pipeline_b(devs, nbs):
+            cp, _, boc, m = v_dec(devs, nbs)
+            starts = v_starts(cp, m)
+            sb, pl, k0, k1, k2, k3, npc = v_compact(starts, boc, devs, nbs)
+            rank = v_probe(k0, k1, k2, k3, pl)
+            return v_fin(sb, pl, rank, npc)
+
     # calibration: trivial dispatch latency (pre-cliff; block, no D2H)
     xcal = jnp.arange(1024, dtype=jnp.int32)
     fcal = jax.jit(lambda x: (x * 3 + 1).sum())
@@ -154,7 +208,10 @@ def run_resident(
     calibration_ms = (time.perf_counter() - t0) / 20 * 1e3
 
     # compile + warm every stage (block_until_ready only; no reads)
-    out = pipeline(*wins[0])
+    if batch > 1:
+        out = pipeline_b(stk_dev, stk_nb)
+    else:
+        out = pipeline(*wins[0])
     jax.block_until_ready(out)
 
     # ---- on-device timing via the profiler trace -------------------------
@@ -170,8 +227,12 @@ def run_resident(
     last = None
     with jax.profiler.trace(trace_dir):
         for r in range(reps):
-            last = pipeline(*wins[r % n_windows])
-        total_tokens = int(last[1])  # drain: forces real completion
+            if batch > 1:
+                last = pipeline_b(stk_dev, stk_nb)
+            else:
+                last = pipeline(*wins[r % n_windows])
+        # drain: forces real completion (sole D2H read of the timed run)
+        total_tokens = int(np.asarray(last[1]).sum())
     wall_ms = (time.perf_counter() - t0) / reps * 1e3
     stage_tot = _device_times_from_trace(trace_dir)
     stage_us = {k: round(v / reps, 2) for k, v in sorted(stage_tot.items())}
@@ -183,38 +244,55 @@ def run_resident(
         from .ops.fused import SENTINEL
 
         host = HostEngine(pattern, ranks, specials)
-        dev, nb = wins[0]
-        out = pipeline(dev, nb)
-        ids = np.asarray(out[0][: int(out[1])])
-        window_b = bytes(np.asarray(dev[: int(nb)]))
-        n_sp = int(out[8])
-        if n_sp:  # splice host-merged miss/oversize spans (piece order)
-            sp_s = np.asarray(out[6])
-            sp_l = np.asarray(out[7])
-            parts, prev = [], 0
-            for j, p in enumerate(np.nonzero(ids == SENTINEL)[0]):
-                parts.append(ids[prev:p])
-                piece = window_b[int(sp_s[j]) : int(sp_s[j]) + int(sp_l[j])]
-                parts.append(np.asarray(
-                    byte_pair_merge(piece, dict(ranks)), dtype=ids.dtype
-                ))
-                prev = p + 1
-            parts.append(ids[prev:])
-            ids = np.concatenate(parts)
-        want = host.encode_ordinary(window_b.decode("utf-8"))
-        match = ids.tolist() == want
 
+        def check_one(out, dev, nb):
+            ids = np.asarray(out[0][: int(out[1])])
+            window_b = bytes(np.asarray(dev[: int(nb)]))
+            n_sp = int(out[8])
+            if n_sp:  # splice host-merged miss/oversize spans (piece order)
+                sp_s = np.asarray(out[6])
+                sp_l = np.asarray(out[7])
+                parts, prev = [], 0
+                for j, p in enumerate(np.nonzero(ids == SENTINEL)[0]):
+                    parts.append(ids[prev:p])
+                    piece = window_b[
+                        int(sp_s[j]) : int(sp_s[j]) + int(sp_l[j])
+                    ]
+                    parts.append(np.asarray(
+                        byte_pair_merge(piece, dict(ranks)), dtype=ids.dtype
+                    ))
+                    prev = p + 1
+                parts.append(ids[prev:])
+                ids = np.concatenate(parts)
+            want = host.encode_ordinary(window_b.decode("utf-8"))
+            return ids.tolist() == want
+
+        if batch > 1:
+            out = pipeline_b(stk_dev, stk_nb)
+            match = all(
+                check_one(
+                    tuple(o[b] for o in out),
+                    stk_dev[b], stk_nb[b],
+                )
+                for b in range(batch)
+            )
+        else:
+            out = pipeline(*wins[0])
+            match = check_one(out, *wins[0])
+
+    per_dispatch_bytes = N * max(batch, 1)
     return ResidentResult(
         window_bytes=N,
         n_windows=n_windows,
         reps=reps,
         calibration_ms=round(calibration_ms, 3),
         device_ms=round(device_ms, 4),
-        kernel_mbps=round(N / 1e6 / (device_ms / 1e3), 2)
+        kernel_mbps=round(per_dispatch_bytes / 1e6 / (device_ms / 1e3), 2)
         if device_ms else 0.0,
         stage_us=stage_us,
         wall_ms=round(wall_ms, 3),
-        wall_mbps=round(N / 1e6 / (wall_ms / 1e3), 2),
+        wall_mbps=round(per_dispatch_bytes / 1e6 / (wall_ms / 1e3), 2),
         total_tokens=total_tokens,
         match_host=match,
+        batch=max(batch, 1),
     )
