@@ -101,3 +101,23 @@ def test_encode_batch_few_huge_texts(tok, monkeypatch):
     texts = [TRICKY * 400, "small one", TRICKY * 150]
     got = tok.encode_batch(texts)
     assert got == [tok._host.encode_ordinary(t) for t in texts]
+
+
+def test_split_fuzz_random_mix(llama4_assets):
+    """Randomized cut-placement fuzz: dense mixes of every character
+    class around potential cut points, split result vs host oracle."""
+    import random
+
+    tok = _mk("llama4", llama4_assets)
+    rng = random.Random(20260817)
+    atoms = [
+        "a", "B", "z", "9", "42", " ", "  ", "\n", "\r\n", "\t", "'s",
+        "'T", "?", "?!", "/", "//", ".", ",", "é", "日", "🙂", "́",
+        "\r", "\n\n", " x", "1a", "don't",
+    ]
+    text = "".join(rng.choice(atoms) for _ in range(60_000))
+    data = text.encode("utf-8")
+    got = tok._encode_split_parallel(tok._get_native(), data)
+    if got is None:
+        pytest.skip("no cut candidates in fuzz text (unexpected)")
+    assert got == tok._host.encode_ordinary(text)
