@@ -47,7 +47,10 @@ def caps_for(n: int) -> dict[str, int]:
     miss-row capacities (merge arrays scale with these, so they are sized
     for realistic worst cases, with an overflow flag for the rest)."""
     return dict(
-        p_cap=max(512, n // 4),
+        # English averages ~4.5 B/piece but code and short-word corpora
+        # can dip below 4 (measured 3.7 on mixed prose+URLs); n//3 keeps
+        # realistic windows out of the overflow fallback
+        p_cap=max(512, n // 3),
         m16=max(256, n // 16),
         m64=max(64, n // 128),
         m256=max(32, n // 1024),
@@ -231,6 +234,49 @@ def resolve_window(
 
     return (flat, total, n_pieces, n_kept, consumed, overflow,
             os_start, os_len, n_os)
+
+
+@partial(jax.jit, static_argnames=("p_cap",))
+def finalize_host_sorted(
+    start_b: jnp.ndarray,
+    piece_len: jnp.ndarray,
+    rank: jnp.ndarray,
+    n_pieces: jnp.ndarray,
+    trim: jnp.ndarray,
+    *,
+    p_cap: int,
+):
+    """Sort-based :func:`finalize_host` (same contract): the two
+    compactions (kept pieces -> flat id stream, misses -> splice spans)
+    run as one small sort each instead of scatters — ~3x faster on v5e
+    (tools/probe_prims.py; XLA lowers the scatters through sorts anyway)."""
+    pslot = jnp.arange(p_cap, dtype=jnp.int32)
+    end_b = start_b + piece_len
+    live = pslot < jnp.minimum(n_pieces, p_cap)
+    kept = live & (end_b <= trim)
+    n_kept = jnp.sum(kept.astype(jnp.int32))
+    consumed = jnp.max(jnp.where(kept, end_b, 0))
+    overflow = n_pieces > p_cap
+    hit = kept & (rank >= 0)
+    miss = kept & (rank < 0)
+    total = n_kept
+
+    key = jnp.where(kept, pslot, p_cap + pslot)
+    _, vals = jax.lax.sort(
+        (key, jnp.where(hit, rank, SENTINEL)), num_keys=1
+    )
+    flat = jnp.where(pslot < total, vals, -1)
+
+    keym = jnp.where(miss, pslot, p_cap + pslot)
+    n_ms = jnp.sum(miss.astype(jnp.int32))
+    _, ms_s, ms_l = jax.lax.sort(
+        (keym, start_b, piece_len), num_keys=1
+    )
+    in_ms = pslot < n_ms
+    ms_start = jnp.where(in_ms, ms_s, 0)
+    ms_len = jnp.where(in_ms, ms_l, 0)
+    return (flat, total, n_pieces, n_kept, consumed, overflow,
+            ms_start, ms_len, n_ms)
 
 
 @partial(jax.jit, static_argnames=("p_cap",))

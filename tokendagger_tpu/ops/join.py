@@ -124,6 +124,62 @@ def compact_piece_keys(
     return start_b, piece_len, k0, k1, k2, k3, n_pieces
 
 
+@partial(jax.jit, static_argnames=("p_cap",))
+def compact_piece_keys_sorted(
+    starts_b: jnp.ndarray,      # (N,) bool: BYTE-level piece-start flags
+    data: jnp.ndarray,          # (N,) uint8 raw stream
+    nbytes: jnp.ndarray,        # scalar int32
+    p_cap: int,
+):
+    """Sort-based variant of :func:`compact_piece_keys` taking byte-level
+    start flags (ASCII windows: char == byte, so the scanner's flags feed
+    straight in; general windows: see pretokenize.starts_to_bytes).
+
+    Measured on v5e: XLA lowers the scatter-compaction to a sort anyway,
+    but through a pathological path (~40 ms per (8,1M) scatter vs ~35 ms
+    for ONE 5-operand sort doing the whole job — tools/probe_prims.py).
+    The sort key is ``idx`` for starts and ``N + idx`` for non-starts:
+    unique and order-preserving, so stability is irrelevant and the first
+    ``n_pieces`` slots are exactly the piece starts in stream order.
+
+    Returns the same tuple as compact_piece_keys."""
+    N = starts_b.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    live_in = starts_b & (idx < nbytes)
+    n_pieces = jnp.sum(live_in.astype(jnp.int32))
+
+    w0, w4, w8, w12 = sliding_words(data, nbytes)
+    key = jnp.where(live_in, idx, N + idx)
+    ks, s0, s1, s2, s3 = jax.lax.sort(
+        (key, w0, w4, w8, w12), num_keys=1
+    )
+    pslot = jnp.arange(p_cap, dtype=jnp.int32)
+    live = pslot < jnp.minimum(n_pieces, p_cap)
+    start_b = jnp.where(live, ks[:p_cap], nbytes)
+
+    nxt_start = jnp.concatenate([start_b[1:], jnp.zeros((1,), start_b.dtype)])
+    end_b = jnp.where(pslot == n_pieces - 1, nbytes, nxt_start)
+    piece_len = jnp.where(live, end_b - start_b, 0)
+
+    def mask_word(k: jnp.ndarray, j: int) -> jnp.ndarray:
+        r = jnp.clip(piece_len - 4 * j, 0, 4)
+        m = jnp.where(
+            r >= 4,
+            jnp.uint32(0xFFFFFFFF),
+            (jnp.uint32(1) << (jnp.uint32(8) * r.astype(jnp.uint32)))
+            - jnp.uint32(1),
+        )
+        # dead slots have piece_len 0 -> mask 0 -> key 0 (as the scatter
+        # variant's masking produces)
+        return k[:p_cap] & m
+
+    k0 = mask_word(s0, 0)
+    k1 = mask_word(s1, 1)
+    k2 = mask_word(s2, 2)
+    k3 = mask_word(s3, 3)
+    return start_b, piece_len, k0, k1, k2, k3, n_pieces
+
+
 def _vhash_ab_jnp(k0, k1, k2, k3, length):
     """Bit-identical jnp version of tables._vhash_ab."""
     a = (

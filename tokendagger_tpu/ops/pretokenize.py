@@ -430,6 +430,81 @@ def utf8_decode(data: jnp.ndarray, nbytes: jnp.ndarray, *, use_pallas: bool = Fa
     return cp, char_of_byte, byte_of_char, n_chars
 
 
+def utf8_decode_ascii(data: jnp.ndarray, nbytes: jnp.ndarray):
+    """ASCII specialization of :func:`utf8_decode` — chars ARE bytes, so
+    the compaction (the expensive part: XLA lowers its scatters through
+    sorts, ~10 ms per 1 MB window on v5e) vanishes entirely.
+
+    Callers must guarantee the window contains no byte >= 0x80 (checked on
+    the host at staging time; exactness is unaffected because for pure
+    ASCII this is definitionally identical to the general decode)."""
+    N = data.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    valid = idx < nbytes
+    cp = jnp.where(valid, data.astype(jnp.int32), 0)
+    char_of_byte = jnp.where(
+        nbytes > 0, jnp.minimum(idx, nbytes - 1), -1
+    )
+    byte_of_char = jnp.where(valid, idx, nbytes)
+    n_chars = jnp.maximum(nbytes, 0)
+    return cp, char_of_byte, byte_of_char, n_chars
+
+
+def utf8_decode_sorted(data: jnp.ndarray, nbytes: jnp.ndarray):
+    """General UTF-8 decode with the codepoint compaction done by ONE
+    2-operand sort instead of two scatters (see ops/join.py
+    compact_piece_keys_sorted for the measurements and the key trick)."""
+    N = data.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    valid = idx < nbytes
+
+    b = data.astype(jnp.int32)
+    is_cont = (b & 0xC0) == 0x80
+    is_start = ~is_cont & valid
+
+    b1 = jnp.concatenate([b[1:], jnp.zeros((1,), jnp.int32)])
+    b2 = jnp.concatenate([b[2:], jnp.zeros((2,), jnp.int32)])
+    b3 = jnp.concatenate([b[3:], jnp.zeros((3,), jnp.int32)])
+    cp2 = ((b & 0x1F) << 6) | (b1 & 0x3F)
+    cp3 = ((b & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F)
+    cp4 = (
+        ((b & 0x07) << 18) | ((b1 & 0x3F) << 12) | ((b2 & 0x3F) << 6)
+        | (b3 & 0x3F)
+    )
+    cp_at = jnp.where(
+        b < 0x80, b,
+        jnp.where(b < 0xE0, cp2, jnp.where(b < 0xF0, cp3, cp4)),
+    )
+    cp_at = jnp.clip(cp_at, 0, 0x10FFFF)
+
+    char_of_byte = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    n_chars = jnp.where(nbytes > 0, jnp.maximum(char_of_byte[-1] + 1, 0), 0)
+
+    key = jnp.where(is_start, idx, N + idx)
+    ks, cps = jax.lax.sort((key, cp_at), num_keys=1)
+    slot = idx
+    live = slot < n_chars
+    cp = jnp.where(live, cps, 0)
+    byte_of_char = jnp.where(live, ks, nbytes)
+    return cp, char_of_byte, byte_of_char, n_chars
+
+
+def starts_to_bytes(
+    starts_char: jnp.ndarray,   # (N,) bool char-level piece-start flags
+    char_of_byte: jnp.ndarray,  # (N,) int32 byte -> char index
+    data: jnp.ndarray,          # (N,) uint8
+    nbytes: jnp.ndarray,
+) -> jnp.ndarray:
+    """Byte-level start mask from char-level flags without a scatter:
+    byte j starts a piece iff it is a lead byte and its char's flag is
+    set. The gather uses monotone indices (char_of_byte)."""
+    N = starts_char.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    valid = idx < nbytes
+    is_lead = ((data.astype(jnp.int32) & 0xC0) != 0x80) & valid
+    return starts_char[jnp.clip(char_of_byte, 0, N - 1)] & is_lead
+
+
 def chain_starts(lens: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
     """starts[i] = True iff a match begins at char i (pointer doubling).
 
@@ -791,6 +866,9 @@ def compact_pieces(starts, byte_of_char, nbytes):
 # pathologically slow CPU-backend compile (minutes); the stages individually
 # compile in ~1 s each and the extra dispatches are negligible vs the work.
 _utf8_decode_j = jax.jit(utf8_decode, static_argnames=("use_pallas",))
+_utf8_decode_ascii_j = jax.jit(utf8_decode_ascii)
+_utf8_decode_sorted_j = jax.jit(utf8_decode_sorted)
+_starts_to_bytes_j = jax.jit(starts_to_bytes)
 _match_lengths_j = jax.jit(
     match_lengths_jax, static_argnames=("contractions", "profile")
 )

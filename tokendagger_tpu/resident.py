@@ -39,6 +39,7 @@ class ResidentResult:
     total_tokens: int
     match_host: bool            # ids bit-identical to the host oracle
     batch: int = 1              # windows per dispatch (vmapped stages)
+    impl: str = "scatter"       # compaction strategy (ascii-sort/sort/scatter)
 
     def to_dict(self):
         return asdict(self)
@@ -86,14 +87,19 @@ def run_resident(
     join_mode: str = "probe",
     miss_mode: str = "host",
     batch: int = 1,
+    impl: str = "auto",
 ) -> ResidentResult:
     import jax
     import jax.numpy as jnp
 
     from .engine import _enable_persistent_compile_cache
     from .ops import pretokenize as PT
-    from .ops.fused import caps_for, finalize_host, resolve_window
-    from .ops.join import compact_piece_keys, vocab_probe
+    from .ops.fused import (
+        caps_for, finalize_host, finalize_host_sorted, resolve_window,
+    )
+    from .ops.join import (
+        compact_piece_keys, compact_piece_keys_sorted, vocab_probe,
+    )
     from .tables import build_tables
     from .unicode_tables import get_two_level_tables
 
@@ -114,12 +120,18 @@ def run_resident(
     mask = tables.pair.mask
 
     wins = []
+    all_ascii = True
     for w in range(n_windows):
         lo = (w * N) % max(1, len(corpus) - N)
         chunk = corpus[lo : lo + N]
         buf = np.zeros(N, dtype=np.uint8)
         buf[: len(chunk)] = np.frombuffer(chunk, dtype=np.uint8)
+        all_ascii = all_ascii and not (buf & 0x80).any()
         wins.append((jnp.asarray(buf), jnp.int32(len(chunk))))
+    if impl == "auto":
+        # sorted compaction everywhere (measured ~5x over the scatter
+        # lowering on v5e); char==byte shortcut when every window is ASCII
+        impl = "ascii-sort" if (all_ascii and miss_mode == "host") else "sort"
     trim = jnp.int32(N)
     jax.block_until_ready(
         [a for w in wins for a in w]
@@ -127,18 +139,38 @@ def run_resident(
            vhash_rows, trim]
     )
 
+    def dec_stage(d, nb):
+        if impl == "ascii-sort":
+            return PT._utf8_decode_ascii_j(d, nb)
+        if impl == "sort":
+            return PT._utf8_decode_sorted_j(d, nb)
+        return PT._utf8_decode_j(d, nb, use_pallas=False)
+
+    def compact_stage(st, cob, boc, d, nb):
+        if impl == "ascii-sort":
+            return compact_piece_keys_sorted(st, d, nb, p_cap)
+        if impl == "sort":
+            stb = PT._starts_to_bytes_j(st, cob, d, nb)
+            return compact_piece_keys_sorted(stb, d, nb, p_cap)
+        return compact_piece_keys(st, boc, d, nb, p_cap)
+
+    def fin_stage(sb, pl, rank, npc):
+        if impl in ("ascii-sort", "sort"):
+            return finalize_host_sorted(sb, pl, rank, npc, trim, p_cap=p_cap)
+        return finalize_host(sb, pl, rank, npc, trim, p_cap=p_cap)
+
     def pipeline(dev, nb):
-        cp, _, boc, m = PT._utf8_decode_j(dev, nb, use_pallas=False)
+        cp, cob, boc, m = dec_stage(dev, nb)
         starts = PT.compute_starts(
             cp, m, page_ids, pages, contractions=True, profile="llama4"
         )
         if miss_mode == "host":
-            sb, pl, k0, k1, k2, k3, npc = compact_piece_keys(
-                starts, boc, dev, nb, p_cap
+            sb, pl, k0, k1, k2, k3, npc = compact_stage(
+                starts, cob, boc, dev, nb
             )
             rank = vocab_probe(k0, k1, k2, k3, pl, vhash_rows,
                                tables.vhash_mask)
-            return finalize_host(sb, pl, rank, npc, trim, p_cap=p_cap)
+            return fin_stage(sb, pl, rank, npc)
         return resolve_window(
             starts, boc, dev, nb, trim, byte_rank, pair_rows, pair_lut,
             vk, vlen, vrank, vhash_rows, mask=mask,
@@ -157,25 +189,14 @@ def run_resident(
         if miss_mode != "host":
             raise ValueError("batched resident mode requires miss_mode='host'")
 
-        def dec_stage(d, nb):
-            from .ops.pretokenize import utf8_decode
-
-            return utf8_decode(d, nb, use_pallas=False)
-
         def starts_stage(cp, m):
             return PT.piece_starts_jax(
                 cp, m, page_ids, pages, contractions=True, profile="llama4"
             )
 
-        def compact_stage(st, boc, d, nb):
-            return compact_piece_keys(st, boc, d, nb, p_cap)
-
         def probe_stage(k0, k1, k2, k3, pl):
             return vocab_probe(k0, k1, k2, k3, pl, vhash_rows,
                                tables.vhash_mask)
-
-        def fin_stage(sb, pl, rank, npc):
-            return finalize_host(sb, pl, rank, npc, trim, p_cap=p_cap)
 
         v_dec = jax.jit(jax.vmap(dec_stage))
         v_starts = jax.jit(jax.vmap(starts_stage))
@@ -192,9 +213,11 @@ def run_resident(
         jax.block_until_ready((stk_dev, stk_nb))
 
         def pipeline_b(devs, nbs):
-            cp, _, boc, m = v_dec(devs, nbs)
+            cp, cob, boc, m = v_dec(devs, nbs)
             starts = v_starts(cp, m)
-            sb, pl, k0, k1, k2, k3, npc = v_compact(starts, boc, devs, nbs)
+            sb, pl, k0, k1, k2, k3, npc = v_compact(
+                starts, cob, boc, devs, nbs
+            )
             rank = v_probe(k0, k1, k2, k3, pl)
             return v_fin(sb, pl, rank, npc)
 
@@ -246,6 +269,8 @@ def run_resident(
         host = HostEngine(pattern, ranks, specials)
 
         def check_one(out, dev, nb):
+            if bool(out[5]):
+                return False  # capacity overflow: window must fall back
             ids = np.asarray(out[0][: int(out[1])])
             window_b = bytes(np.asarray(dev[: int(nb)]))
             n_sp = int(out[8])
@@ -295,4 +320,5 @@ def run_resident(
         total_tokens=total_tokens,
         match_host=match,
         batch=max(batch, 1),
+        impl=impl,
     )
