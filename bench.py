@@ -196,6 +196,31 @@ def main() -> None:
         tok, name = load_tokenizer("host")
         host_mbps = _measure(tok, chunks, n_bytes, args.runs, args.threads)
         detail["host_mbps"] = round(host_mbps, 2)
+        # same-protocol tiktoken arm on THIS machine (the reference's own
+        # comparison; VERDICT r1 asks for the win/loss row in every BENCH)
+        try:
+            import tiktoken
+
+            tk = tiktoken.Encoding(
+                "bench-tiktoken",
+                pat_str=tok.pattern,
+                mergeable_ranks=tok._mergeable_ranks,
+                special_tokens=tok._special_tokens,
+            )
+
+            class _TkShim:
+                encode_batch = staticmethod(
+                    lambda texts, num_threads=8: tk.encode_ordinary_batch(
+                        texts, num_threads=num_threads
+                    )
+                )
+
+            tk_mbps = _measure(_TkShim, chunks, n_bytes,
+                               max(1, args.runs - 1), args.threads)
+            detail["tiktoken_mbps"] = round(tk_mbps, 2)
+            detail["speedup_vs_tiktoken"] = round(host_mbps / tk_mbps, 2)
+        except Exception as e:  # noqa: BLE001
+            detail["tiktoken_error"] = str(e)[:80]
         try:
             tok.encode_batch_np(chunks[:2], num_threads=args.threads)
             best_np = 0.0

@@ -687,7 +687,9 @@ def _sweep_pass(body, ins, n_out, m_arr, *, reverse, R, interpret, **kw):
         row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
         gidx = base + row * LANES + col
-        ctx = PallasCtx(Carries(carry, g == 0), gidx, m_ref[0], reverse)
+        ctx = PallasCtx(
+            Carries(carry, g == 0), gidx, m_ref[pl.program_id(0)], reverse
+        )
         outs = body(ctx, *[r[0] for r in in_refs], **kw)
         if not isinstance(outs, tuple):
             outs = (outs,)
@@ -702,8 +704,11 @@ def _sweep_pass(body, ins, n_out, m_arr, *, reverse, R, interpret, **kw):
         kern,
         grid=(B, G),
         in_specs=[
+            # whole (B,) lengths array in SMEM: real-TPU lowering requires
+            # rank-1 blocks to cover the array (block (1,) is rejected);
+            # the kernel indexes it with program_id(0)
             pl.BlockSpec(
-                (1,), lambda b, g: (b,), memory_space=pltpu.SMEM
+                (B,), lambda b, g: (0,), memory_space=pltpu.SMEM
             )
         ]
         + [tile] * n_in,
