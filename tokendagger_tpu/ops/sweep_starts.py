@@ -258,7 +258,7 @@ class PallasCtx:
         for _ in range(k):
             prev_last = self.c.step(fill, out[R - 1, L - 1])
             out = shift_fwd(out, prev_last)
-        return out.astype(jnp.bool_) if x.dtype == jnp.bool_ else out
+        return (out != 0) if x.dtype == jnp.bool_ else out
 
     def nxt_carry(self, x, k: int = 1, fill=0):
         """Raster shift -k (out[i] = x[i+k]); reverse passes only."""
@@ -267,7 +267,7 @@ class PallasCtx:
         for _ in range(k):
             nxt_first = self.c.step(fill, out[0, 0])
             out = shift_bwd(out, nxt_first)
-        return out.astype(jnp.bool_) if x.dtype == jnp.bool_ else out
+        return (out != 0) if x.dtype == jnp.bool_ else out
 
     # ---- scans -----------------------------------------------------------
     def cummax(self, x, init=I32_MIN):
@@ -352,7 +352,7 @@ class JnpCtx:
         out = jnp.concatenate(
             [jnp.full((kk,), fillv, jnp.int32), out[: n - kk]]
         )
-        return out.astype(jnp.bool_) if x.dtype == jnp.bool_ else out
+        return (out != 0) if x.dtype == jnp.bool_ else out
 
     def nxt_carry(self, x, k: int = 1, fill=0):
         out = x.astype(jnp.int32)
@@ -360,7 +360,7 @@ class JnpCtx:
         fillv = jnp.asarray(fill, jnp.int32)
         kk = min(k, n)
         out = jnp.concatenate([out[kk:], jnp.full((kk,), fillv, jnp.int32)])
-        return out.astype(jnp.bool_) if x.dtype == jnp.bool_ else out
+        return (out != 0) if x.dtype == jnp.bool_ else out
 
     def cummax(self, x, init=I32_MIN):
         return jnp.maximum(
@@ -592,10 +592,13 @@ def body_F4(ctx, f, ct_loop, ct_fin, misc, bws, cover2, nL, nO, wd_end):
     sup = sup | (wam & ~forced_entry)
 
     p1 = ~(M.rn | M.let | M.num) & ctx.valid
-    false = jnp.zeros_like(base)
-    base_start = jnp.where(
-        M.ws, base & ~sup,
-        jnp.where(M.num, base, jnp.where(purc & ~M.wd, base & ~sup, false)),
+    # bitwise form of the nested where (Mosaic cannot select_n on bool
+    # vectors: i8->i1 truncation is unsupported on v5e)
+    ns = base & ~sup
+    base_start = (
+        (M.ws & ns)
+        | (~M.ws & M.num & base)
+        | (~M.ws & ~M.num & purc & ~M.wd & ns)
     )
     prefix_bind = M.wd & ctx.prev(
         base_start & p1 & ~M.wd & ~absorbed_letters
@@ -603,7 +606,8 @@ def body_F4(ctx, f, ct_loop, ct_fin, misc, bws, cover2, nL, nO, wd_end):
     sup = sup | prefix_bind
 
     starts = base & ~sup & ctx.valid
-    starts = jnp.where(ctx.gidx == 0, ctx.m > 0, starts)
+    at0 = ctx.gidx == 0
+    starts = (at0 & (ctx.m > 0)) | (~at0 & starts)
     return _pack_bits(starts)
 
 
