@@ -40,6 +40,7 @@ class ResidentResult:
     match_host: bool            # ids bit-identical to the host oracle
     batch: int = 1              # windows per dispatch (vmapped stages)
     impl: str = "scatter"       # compaction strategy (ascii-sort/sort/scatter)
+    starts_impl: str = "jnp"    # piece-start formulation (jnp/sweep)
 
     def to_dict(self):
         return asdict(self)
@@ -88,6 +89,7 @@ def run_resident(
     miss_mode: str = "host",
     batch: int = 1,
     impl: str = "auto",
+    starts_impl: str = "jnp",
 ) -> ResidentResult:
     import jax
     import jax.numpy as jnp
@@ -199,7 +201,19 @@ def run_resident(
                                tables.vhash_mask)
 
         v_dec = jax.jit(jax.vmap(dec_stage))
-        v_starts = jax.jit(jax.vmap(starts_stage))
+        if starts_impl == "sweep":
+            # Pallas sweep formulation: handles the (B, N) batch natively
+            # (grid=(B, G)); one program instead of ~77 fused scan kernels.
+            from .ops.sweep_starts import piece_starts_sweep
+
+            v_starts = jax.jit(
+                lambda cp, m: piece_starts_sweep(
+                    cp, m, page_ids, pages, contractions=True,
+                    profile="llama4",
+                )
+            )
+        else:
+            v_starts = jax.jit(jax.vmap(starts_stage))
         v_compact = jax.jit(jax.vmap(compact_stage))
         v_probe = jax.jit(jax.vmap(probe_stage))
         v_fin = jax.jit(jax.vmap(fin_stage))
@@ -321,4 +335,5 @@ def run_resident(
         match_host=match,
         batch=max(batch, 1),
         impl=impl,
+        starts_impl=starts_impl if batch > 1 else "jnp",
     )

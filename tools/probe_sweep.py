@@ -55,7 +55,38 @@ def main():
             )
         )(cp, m)
 
-    cases = [("jnp", jax.jit(starts_jnp), (cp, m))]
+    # calibration: one minimal pass (1 cummax + 1 shift) through the same
+    # sweep driver — isolates the per-pass floor from the derivation logic
+    from tokendagger_tpu.ops import sweep_starts as SS
+
+    def body_calib(ctx, f):
+        return ctx.cummax(f) + ctx.prev(f, 1, 0)
+
+    def calib_one(feat8):
+        m_arr = jnp.full((B,), N, jnp.int32)
+        (o,) = SS._sweep_pass(
+            body_calib, [feat8], 1, m_arr, reverse=False, R=256,
+            interpret=False,
+        )
+        return o
+
+    feat8 = jax.vmap(
+        lambda c, mm: SS.pack_feat(c, mm, page_ids, pages, contractions=True)
+    )(cp, jnp.full((B,), N, jnp.int32))
+    jax.block_until_ready(feat8)
+
+    def packfeat_only(cp, m):
+        return jax.vmap(
+            lambda c, mm: SS.pack_feat(
+                c, mm, page_ids, pages, contractions=True
+            )
+        )(cp, m)
+
+    cases = [
+        ("calib1pass", jax.jit(calib_one), (feat8,)),
+        ("pack_feat", jax.jit(packfeat_only), (cp, m)),
+        ("jnp", jax.jit(starts_jnp), (cp, m)),
+    ]
     for R in (256, 512):
         cases.append((
             f"sweep_R{R}",
