@@ -212,6 +212,27 @@ def run_resident(
                     profile="llama4",
                 )
             )
+        elif starts_impl in ("bits", "bits-pallas"):
+            # bit-plane boolean-run derivation (ops/bitplane.py): 32 chars
+            # per word; "bits-pallas" keeps every scan VMEM-resident
+            from .ops.bitplane import (
+                piece_starts_bits, piece_starts_bits_pallas,
+            )
+
+            if starts_impl == "bits-pallas":
+                v_starts = jax.jit(
+                    lambda cp, m: piece_starts_bits_pallas(
+                        cp, m, page_ids, pages, contractions=True,
+                        profile="llama4",
+                    )
+                )
+            else:
+                v_starts = jax.jit(jax.vmap(
+                    lambda c, mm: piece_starts_bits(
+                        c, mm, page_ids, pages, contractions=True,
+                        profile="llama4",
+                    )
+                ))
         else:
             v_starts = jax.jit(jax.vmap(starts_stage))
         v_compact = jax.jit(jax.vmap(compact_stage))

@@ -55,47 +55,27 @@ def main():
             )
         )(cp, m)
 
-    # calibration: one minimal pass (1 cummax + 1 shift) through the same
-    # sweep driver — isolates the per-pass floor from the derivation logic
-    from tokendagger_tpu.ops import sweep_starts as SS
+    from tokendagger_tpu.ops.bitplane import (
+        piece_starts_bits, piece_starts_bits_pallas,
+    )
 
-    def body_calib(ctx, f):
-        return ctx.cummax(f) + ctx.prev(f, 1, 0)
-
-    def calib_one(feat8):
-        m_arr = jnp.full((B,), N, jnp.int32)
-        (o,) = SS._sweep_pass(
-            body_calib, [feat8], 1, m_arr, reverse=False, R=256,
-            interpret=False,
-        )
-        return o
-
-    feat8 = jax.vmap(
-        lambda c, mm: SS.pack_feat(c, mm, page_ids, pages, contractions=True)
-    )(cp, jnp.full((B,), N, jnp.int32))
-    jax.block_until_ready(feat8)
-
-    def packfeat_only(cp, m):
+    def starts_bits(cp, m):
         return jax.vmap(
-            lambda c, mm: SS.pack_feat(
-                c, mm, page_ids, pages, contractions=True
+            lambda c, mm: piece_starts_bits(
+                c, mm, page_ids, pages, contractions=True, profile="llama4"
             )
         )(cp, m)
 
+    def starts_bits_pl(cp, m):
+        return piece_starts_bits_pallas(
+            cp, m, page_ids, pages, contractions=True, profile="llama4"
+        )
+
     cases = [
-        ("calib1pass", jax.jit(calib_one), (feat8,)),
-        ("pack_feat", jax.jit(packfeat_only), (cp, m)),
+        ("bits_pallas", jax.jit(starts_bits_pl), (cp, m)),
+        ("bits", jax.jit(starts_bits), (cp, m)),
         ("jnp", jax.jit(starts_jnp), (cp, m)),
     ]
-    for R in (256, 512):
-        cases.append((
-            f"sweep_R{R}",
-            jax.jit(lambda cp, m, R=R: piece_starts_sweep(
-                cp, m, page_ids, pages, contractions=True,
-                profile="llama4", R=R,
-            )),
-            (cp, m),
-        ))
 
     reps = 8
     outs = {}
