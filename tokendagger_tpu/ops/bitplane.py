@@ -99,13 +99,13 @@ def _nwords(x) -> int:
 def _last_word(x):
     if _TILE:
         r, l = x.shape
-        return x[r - 1 : r, l - 1 : l]   # (1,1): Mosaic needs static slices
+        return x[r - 1, l - 1]  # static scalar extract (rank-0 splats OK)
     return x[..., -1]
 
 
 def _first_word(x):
     if _TILE:
-        return x[0:1, 0:1]
+        return x[0, 0]
     return x[..., 0]
 
 

@@ -214,23 +214,26 @@ def run_resident(
             )
         elif starts_impl in ("bits", "bits-pallas"):
             # bit-plane boolean-run derivation (ops/bitplane.py): 32 chars
-            # per word; "bits-pallas" keeps every scan VMEM-resident
+            # per word; "bits-pallas" keeps every scan VMEM-resident. For
+            # all-ASCII windows (already verified on the host for the
+            # ascii-sort impl) the class masks come from range compares.
             from .ops.bitplane import (
                 piece_starts_bits, piece_starts_bits_pallas,
             )
 
+            af = impl == "ascii-sort"
             if starts_impl == "bits-pallas":
                 v_starts = jax.jit(
                     lambda cp, m: piece_starts_bits_pallas(
                         cp, m, page_ids, pages, contractions=True,
-                        profile="llama4",
+                        profile="llama4", ascii_fast=af,
                     )
                 )
             else:
                 v_starts = jax.jit(jax.vmap(
                     lambda c, mm: piece_starts_bits(
                         c, mm, page_ids, pages, contractions=True,
-                        profile="llama4",
+                        profile="llama4", ascii_fast=af,
                     )
                 ))
         else:

@@ -71,9 +71,37 @@ def main():
             cp, m, page_ids, pages, contractions=True, profile="llama4"
         )
 
+    def starts_bits_pl_ascii(cp, m):
+        return piece_starts_bits_pallas(
+            cp, m, page_ids, pages, contractions=True, profile="llama4",
+            ascii_fast=True,
+        )
+
+    def starts_bits_ascii(cp, m):
+        return jax.vmap(
+            lambda c, mm: piece_starts_bits(
+                c, mm, page_ids, pages, contractions=True,
+                profile="llama4", ascii_fast=True,
+            )
+        )(cp, m)
+
+    def pack_only_ascii(cp, m):
+        from tokendagger_tpu.ops.bitplane import (
+            MASK_ORDER, _char_masks, pack_mask,
+        )
+
+        def one(c, mm):
+            mk = _char_masks(c, mm, page_ids, pages, contractions=True,
+                             ascii_fast=True)
+            return tuple(pack_mask(mk[k]) for k in MASK_ORDER)
+
+        return jax.vmap(one)(cp, m)
+
     cases = [
+        ("bits_pl_ascii", jax.jit(starts_bits_pl_ascii), (cp, m)),
+        ("bits_ascii", jax.jit(starts_bits_ascii), (cp, m)),
+        ("pack_ascii", jax.jit(pack_only_ascii), (cp, m)),
         ("bits_pallas", jax.jit(starts_bits_pl), (cp, m)),
-        ("bits", jax.jit(starts_bits), (cp, m)),
         ("jnp", jax.jit(starts_jnp), (cp, m)),
     ]
 
@@ -104,7 +132,7 @@ def main():
     # verification LAST (the D2H reads flip the session into degraded mode)
     ref = np.asarray(outs["jnp"]).astype(bool)
     for name, o in outs.items():
-        if name == "jnp":
+        if name == "jnp" or name.startswith("pack"):
             continue
         got = np.asarray(o).astype(bool)
         eq = np.array_equal(ref, got)
