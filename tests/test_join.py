@@ -62,6 +62,33 @@ def test_probe_matches_dict_and_numpy(llama_tables):
     assert (got == want).all()
 
 
+def test_probe8_matches_dict_and_numpy(llama_tables):
+    from tokendagger_tpu.ops.join import vocab_probe8, vocab_probe8_np
+
+    ranks, t = llama_tables
+    pieces = _query_pieces(ranks)
+    qk, qlens = _keys_for(pieces)
+    # the single-hash table may deliberately drop bucket-overflow entries
+    # (a false miss is exact: host splices do the dict lookup first) —
+    # a result must be either the true rank or -1, never a wrong rank
+    want = np.array(
+        [ranks.get(p, -1) if len(p) <= 16 else -1 for p in pieces],
+        np.int32,
+    )
+    got_np = vocab_probe8_np(qk, qlens, t.vhash8_rows, t.vhash8_mask)
+    ok = (got_np == want) | (got_np == -1)
+    assert ok.all()
+    # dropped entries are bounded and rare
+    assert t.vhash8_dropped <= max(16, len(ranks) // 10_000)
+    assert (got_np == -1).sum() <= (want == -1).sum() + t.vhash8_dropped
+    got = np.asarray(vocab_probe8(
+        jnp.asarray(qk[:, 0]), jnp.asarray(qk[:, 1]), jnp.asarray(qk[:, 2]),
+        jnp.asarray(qk[:, 3]), jnp.asarray(qlens),
+        jnp.asarray(t.vhash8_rows), t.vhash8_mask,
+    ))
+    assert (got == got_np).all()
+
+
 def test_sort_join_matches_dict(llama_tables):
     ranks, t = llama_tables
     pieces = _query_pieces(ranks)

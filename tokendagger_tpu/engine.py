@@ -127,7 +127,7 @@ class DeviceEngine:
             self._vk = jnp.asarray(self.tables.vocab_keys)
             self._vlen = jnp.asarray(self.tables.vocab_lens)
             self._vrank = jnp.asarray(self.tables.vocab_ranks)
-            self._vhash_rows = jnp.asarray(self.tables.vhash_rows)
+            self._vhash_rows = jnp.asarray(self.tables.vhash8_rows)
             self.join_mode = "probe"
             # "host": device resolves whole-piece hits, misses splice on
             # host (all-safe kernels; right for this rig's remote runtime
@@ -239,7 +239,7 @@ class DeviceEngine:
         jnp = self._jnp
         from .ops import pretokenize as PT
         from .ops.fused import caps_for, finalize_host, resolve_window
-        from .ops.join import compact_piece_keys, vocab_join, vocab_probe
+        from .ops.join import compact_piece_keys, vocab_join, vocab_probe8
 
         n = len(window)
         N = next(s for s in SCAN_SIZES if s >= n)
@@ -261,8 +261,8 @@ class DeviceEngine:
                 rank = vocab_join(k0, k1, k2, k3, pl, self._vk,
                                   self._vlen, self._vrank)
             else:
-                rank = vocab_probe(k0, k1, k2, k3, pl, self._vhash_rows,
-                                   self.tables.vhash_mask)
+                rank = vocab_probe8(k0, k1, k2, k3, pl, self._vhash_rows,
+                                    self.tables.vhash8_mask)
             (flat, total, _n_pieces, _n_kept, consumed, overflow,
              os_s, os_l, n_os) = finalize_host(
                 sb, pl, rank, npc, jnp.int32(trim), p_cap=p_cap
@@ -274,7 +274,7 @@ class DeviceEngine:
                 self._byte_rank, self._pair_rows, self._pair_lut,
                 self._vk, self._vlen, self._vrank, self._vhash_rows,
                 mask=self._pair_mask,
-                vhash_mask=self.tables.vhash_mask,
+                vhash_mask=self.tables.vhash8_mask,
                 join_mode=self.join_mode, miss_mode=self.miss_mode,
                 **caps_for(N),
             )
@@ -302,8 +302,14 @@ class DeviceEngine:
         for j, p in enumerate(sent_pos):
             parts.append(ids[prev:p])
             piece = window[int(os_s[j]) : int(os_s[j]) + int(os_l[j])]
+            # whole-piece lookup FIRST, like the oracle (hostengine
+            # encode_ordinary): a probe miss on device may be a deliberate
+            # false miss (token dropped from the device hash table), and
+            # merge(piece) == [rank] is a vocab property, not a guarantee
+            r = self.ranks.get(piece)
             parts.append(np.asarray(
-                byte_pair_merge(piece, self.ranks), dtype=ids.dtype
+                [r] if r is not None else byte_pair_merge(piece, self.ranks),
+                dtype=ids.dtype,
             ))
             prev = p + 1
         parts.append(ids[prev:])
@@ -412,7 +418,7 @@ class DeviceEngine:
                     buf, lens,
                     page_ids=self._page_ids, pages=self._pages,
                     vhash_rows=self._vhash_rows,
-                    vhash_mask=self.tables.vhash_mask,
+                    vhash_mask=self.tables.vhash8_mask,
                     contractions=self._contractions, profile=self._profile,
                 )
                 for r, (i, s) in enumerate(batch):
@@ -461,6 +467,12 @@ class DeviceEngine:
         out: list[list[int] | None] = [None] * len(pieces)
         by_bucket: dict[int, list[int]] = {w: [] for w in BUCKET_WIDTHS}
         for i, piece in enumerate(pieces):
+            r = self.ranks.get(piece)
+            if r is not None:
+                # oracle semantics: whole-piece lookup before any merge
+                # (covers probe false-misses and unreachable vocab tokens)
+                out[i] = [r]
+                continue
             if len(piece) > BUCKET_WIDTHS[-1] or (
                 self._missing_bytes
                 and any(self.tables.byte_rank[b] < 0 for b in piece)

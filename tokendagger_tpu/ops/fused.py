@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .join import compact_piece_keys, vocab_join, vocab_probe
+from .join import compact_piece_keys, vocab_join, vocab_probe8
 from .merge import merge_rows_local
 
 SENTINEL = np.int32(2**31 - 2)  # flat-stream marker for an oversize piece
@@ -75,7 +75,7 @@ def resolve_window(
     pair_rows: jnp.ndarray,
     pair_lut: jnp.ndarray,
     vk: jnp.ndarray, vlen: jnp.ndarray, vrank: jnp.ndarray,
-    vhash_rows: jnp.ndarray,
+    vhash_rows: jnp.ndarray,   # single-hash 8-slot table (vhash8_rows)
     *,
     p_cap: int, m16: int, m64: int, m256: int, os_cap: int, mask: int,
     vhash_mask: int, join_mode: str = "probe", miss_mode: str = "host",
@@ -100,8 +100,8 @@ def resolve_window(
     if join_mode == "sort":
         rank = vocab_join(k0, k1, k2, k3, piece_len, vk, vlen, vrank)
     else:
-        rank = vocab_probe(k0, k1, k2, k3, piece_len, vhash_rows,
-                           vhash_mask)
+        rank = vocab_probe8(k0, k1, k2, k3, piece_len, vhash_rows,
+                            vhash_mask)
     hit = kept & (rank >= 0)
     miss = kept & (rank < 0)
 
@@ -236,7 +236,7 @@ def resolve_window(
             os_start, os_len, n_os)
 
 
-@partial(jax.jit, static_argnames=("p_cap",))
+@partial(jax.jit, static_argnames=("p_cap", "untrimmed"))
 def finalize_host_sorted(
     start_b: jnp.ndarray,
     piece_len: jnp.ndarray,
@@ -245,15 +245,20 @@ def finalize_host_sorted(
     trim: jnp.ndarray,
     *,
     p_cap: int,
+    untrimmed: bool = False,
 ):
     """Sort-based :func:`finalize_host` (same contract): the two
     compactions (kept pieces -> flat id stream, misses -> splice spans)
     run as one small sort each instead of scatters — ~3x faster on v5e
-    (tools/probe_prims.py; XLA lowers the scatters through sorts anyway)."""
+    (tools/probe_prims.py; XLA lowers the scatters through sorts anyway).
+
+    ``untrimmed``: caller guarantees trim >= nbytes (complete windows, no
+    safe-cut drop) — then kept == live in slot order already and the flat
+    compaction is the identity, so its sort is skipped entirely."""
     pslot = jnp.arange(p_cap, dtype=jnp.int32)
     end_b = start_b + piece_len
     live = pslot < jnp.minimum(n_pieces, p_cap)
-    kept = live & (end_b <= trim)
+    kept = live if untrimmed else (live & (end_b <= trim))
     n_kept = jnp.sum(kept.astype(jnp.int32))
     consumed = jnp.max(jnp.where(kept, end_b, 0))
     overflow = n_pieces > p_cap
@@ -261,11 +266,14 @@ def finalize_host_sorted(
     miss = kept & (rank < 0)
     total = n_kept
 
-    key = jnp.where(kept, pslot, p_cap + pslot)
-    _, vals = jax.lax.sort(
-        (key, jnp.where(hit, rank, SENTINEL)), num_keys=1
-    )
-    flat = jnp.where(pslot < total, vals, -1)
+    if untrimmed:
+        flat = jnp.where(kept, jnp.where(hit, rank, SENTINEL), -1)
+    else:
+        key = jnp.where(kept, pslot, p_cap + pslot)
+        _, vals = jax.lax.sort(
+            (key, jnp.where(hit, rank, SENTINEL)), num_keys=1
+        )
+        flat = jnp.where(pslot < total, vals, -1)
 
     keym = jnp.where(miss, pslot, p_cap + pslot)
     n_ms = jnp.sum(miss.astype(jnp.int32))

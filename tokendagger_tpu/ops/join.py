@@ -218,7 +218,8 @@ def vocab_probe(
     out = jnp.full(qk0.shape, -1, jnp.int32)
     for which in (0, 1):
         h = _mix(a, b, which, vhash_mask)
-        r = vhash_rows[h]  # (P, 24)
+        # barrier: see vocab_probe8 (prevents gather rematerialization)
+        r = jax.lax.optimization_barrier(vhash_rows[h])  # (P, 24)
         hit = (
             (r[:, 0:4] == i0[:, None])
             & (r[:, 4:8] == i1[:, None])
@@ -229,6 +230,58 @@ def vocab_probe(
         vals = jnp.max(jnp.where(hit, r[:, 20:24], -1), axis=1)
         out = jnp.where((out < 0) & (vals >= 0), vals, out)
     return out
+
+
+@partial(jax.jit, static_argnames=("vhash8_mask",))
+def vocab_probe8(
+    qk0: jnp.ndarray, qk1: jnp.ndarray, qk2: jnp.ndarray, qk3: jnp.ndarray,
+    qlen: jnp.ndarray,          # (P,) int32 piece byte lengths
+    vhash8_rows: jnp.ndarray,   # (nb8, 48) int32 (tables._build_vocab_hash8)
+    vhash8_mask: int,
+) -> jnp.ndarray:
+    """Single-gather whole-piece lookup: rank or -1 per query.
+
+    ONE 192-byte row gather per piece (8 slots) — half the gather count
+    of :func:`vocab_probe`, which dominates the resolver's on-chip time
+    (the probe is gather-latency-bound). Misses can be deliberate: the
+    table drops bucket-overflow entries, and every host splice does the
+    oracle's whole-piece dict lookup first, so a false miss is exact."""
+    from .merge import _mix
+
+    i0 = qk0.astype(jnp.int32)
+    i1 = qk1.astype(jnp.int32)
+    i2 = qk2.astype(jnp.int32)
+    i3 = qk3.astype(jnp.int32)
+    a, b = _vhash_ab_jnp(qk0, qk1, qk2, qk3, qlen)
+    h = _mix(a, b, 0, vhash8_mask)
+    # barrier: r is consumed by 6 slice-compares; without it XLA
+    # rematerializes the row gather into EACH consumer fusion (measured
+    # 6x the single-gather cost on v5e — tools/probe_gather.py)
+    r = jax.lax.optimization_barrier(vhash8_rows[h])  # (P, 48)
+    hit = (
+        (r[:, 0:8] == i0[:, None])
+        & (r[:, 8:16] == i1[:, None])
+        & (r[:, 16:24] == i2[:, None])
+        & (r[:, 24:32] == i3[:, None])
+        & (r[:, 32:40] == qlen[:, None])
+    )
+    return jnp.max(jnp.where(hit, r[:, 40:48], -1), axis=1)
+
+
+def vocab_probe8_np(qk, qlen, vhash8_rows, vhash8_mask):
+    """Numpy reference of vocab_probe8 (for tests)."""
+    from ..tables import _mix_hash, _vhash_ab
+
+    a, b = _vhash_ab(qk[:, 0], qk[:, 1], qk[:, 2], qk[:, 3], qlen)
+    h = _mix_hash(a, b, 0, vhash8_mask)
+    r = vhash8_rows[h]
+    ik = qk.view(np.int32).reshape(len(qlen), 4)
+    hit = (
+        (r[:, 0:8] == ik[:, 0:1]) & (r[:, 8:16] == ik[:, 1:2])
+        & (r[:, 16:24] == ik[:, 2:3]) & (r[:, 24:32] == ik[:, 3:4])
+        & (r[:, 32:40] == qlen[:, None])
+    )
+    return np.where(hit, r[:, 40:48], -1).max(axis=1)
 
 
 def vocab_probe_np(qk, qlen, vhash_rows, vhash_mask):

@@ -100,7 +100,7 @@ def run_resident(
         caps_for, finalize_host, finalize_host_sorted, resolve_window,
     )
     from .ops.join import (
-        compact_piece_keys, compact_piece_keys_sorted, vocab_probe,
+        compact_piece_keys, compact_piece_keys_sorted, vocab_probe8,
     )
     from .tables import build_tables
     from .unicode_tables import get_two_level_tables
@@ -114,7 +114,7 @@ def run_resident(
     vk = jnp.asarray(tables.vocab_keys)
     vlen = jnp.asarray(tables.vocab_lens)
     vrank = jnp.asarray(tables.vocab_ranks)
-    vhash_rows = jnp.asarray(tables.vhash_rows)
+    vhash_rows = jnp.asarray(tables.vhash8_rows)
 
     N = window
     caps = caps_for(N)
@@ -158,7 +158,10 @@ def run_resident(
 
     def fin_stage(sb, pl, rank, npc):
         if impl in ("ascii-sort", "sort"):
-            return finalize_host_sorted(sb, pl, rank, npc, trim, p_cap=p_cap)
+            # windows here are complete (trim == window size), so the
+            # kept set is the live set in slot order: skip the flat sort
+            return finalize_host_sorted(sb, pl, rank, npc, trim,
+                                        p_cap=p_cap, untrimmed=True)
         return finalize_host(sb, pl, rank, npc, trim, p_cap=p_cap)
 
     def pipeline(dev, nb):
@@ -170,13 +173,13 @@ def run_resident(
             sb, pl, k0, k1, k2, k3, npc = compact_stage(
                 starts, cob, boc, dev, nb
             )
-            rank = vocab_probe(k0, k1, k2, k3, pl, vhash_rows,
-                               tables.vhash_mask)
+            rank = vocab_probe8(k0, k1, k2, k3, pl, vhash_rows,
+                                tables.vhash8_mask)
             return fin_stage(sb, pl, rank, npc)
         return resolve_window(
             starts, boc, dev, nb, trim, byte_rank, pair_rows, pair_lut,
             vk, vlen, vrank, vhash_rows, mask=mask,
-            vhash_mask=tables.vhash_mask, join_mode=join_mode,
+            vhash_mask=tables.vhash8_mask, join_mode=join_mode,
             miss_mode=miss_mode, **caps,
         )
 
@@ -197,8 +200,8 @@ def run_resident(
             )
 
         def probe_stage(k0, k1, k2, k3, pl):
-            return vocab_probe(k0, k1, k2, k3, pl, vhash_rows,
-                               tables.vhash_mask)
+            return vocab_probe8(k0, k1, k2, k3, pl, vhash_rows,
+                                tables.vhash8_mask)
 
         v_dec = jax.jit(jax.vmap(dec_stage))
         if starts_impl == "sweep":
@@ -321,8 +324,11 @@ def run_resident(
                     piece = window_b[
                         int(sp_s[j]) : int(sp_s[j]) + int(sp_l[j])
                     ]
+                    r = ranks.get(piece)  # oracle: whole-piece lookup first
                     parts.append(np.asarray(
-                        byte_pair_merge(piece, dict(ranks)), dtype=ids.dtype
+                        [r] if r is not None
+                        else byte_pair_merge(piece, dict(ranks)),
+                        dtype=ids.dtype,
                     ))
                     prev = p + 1
                 parts.append(ids[prev:])

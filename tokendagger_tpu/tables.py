@@ -144,6 +144,15 @@ class DeviceTables:
     # (the remote-TPU tunnel here degrades every post-sort dispatch).
     vhash_rows: np.ndarray       # (nb, 24) int32
     vhash_mask: int
+    # Single-hash bucketed variant: 8 slots per bucket in ONE row, so a
+    # lookup is ONE 192-byte row gather instead of two 96-byte ones — the
+    # probe is gather-latency-bound, so this halves its cost. Entries
+    # whose bucket overflows are DROPPED (a deliberate false miss): exact
+    # because every host splice does the oracle's whole-piece dict lookup
+    # before merging (engine._splice_oversize / _merge_unique).
+    vhash8_rows: np.ndarray      # (nb8, 48) int32
+    vhash8_mask: int
+    vhash8_dropped: int
 
 
 def _vocab_digest(ranks: dict[bytes, int], special_tokens: dict[str, int]) -> str:
@@ -221,6 +230,40 @@ def _build_vocab_hash(vocab_keys: np.ndarray, vocab_lens: np.ndarray,
     raise RuntimeError("vocab hash table build failed after growth retries")
 
 
+def _build_vocab_hash8(vocab_keys: np.ndarray, vocab_lens: np.ndarray,
+                       vocab_ranks: np.ndarray):
+    """Single-hash bucketed table: 8 slots x [k0,k1,k2,k3,len,rank] per
+    row (48 int32 = 192 B). Entries that do not fit their bucket are
+    dropped (returned count) — lookups of those tokens become exact false
+    misses resolved by the host's whole-piece dict lookup. Rows are
+    slot-major like the two-choice table: [k0 x8][k1 x8]...[rank x8]."""
+    n = len(vocab_lens)
+    a_all, b_all = _vhash_ab(
+        vocab_keys[:, 0], vocab_keys[:, 1], vocab_keys[:, 2],
+        vocab_keys[:, 3], vocab_lens,
+    )
+    nbuckets = 1 << max(10, int(np.ceil(np.log2(max(1, n) / 1.5))))
+    mask = nbuckets - 1
+    slots = np.zeros((nbuckets, 8, 6), dtype=np.int32)
+    slots[:, :, 4] = -1  # len == -1 marks empty
+    h = _mix_hash(a_all, b_all, 0, mask)
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    group_start = np.r_[0, np.flatnonzero(np.diff(hs)) + 1]
+    rank_in_group = np.arange(len(hs)) - np.repeat(
+        group_start, np.diff(np.r_[group_start, len(hs)])
+    )
+    accept = rank_in_group < 8
+    idx = order[accept]
+    bkt = hs[accept]
+    sl = rank_in_group[accept]
+    slots[bkt, sl, 0:4] = vocab_keys[idx].view(np.int32)
+    slots[bkt, sl, 4] = vocab_lens[idx]
+    slots[bkt, sl, 5] = vocab_ranks[idx]
+    rows = slots.transpose(0, 2, 1).reshape(nbuckets, 48).copy()
+    return rows, mask, int(n - accept.sum())
+
+
 def build_tables(
     ranks: dict[bytes, int],
     special_tokens: dict[str, int] | None = None,
@@ -228,8 +271,8 @@ def build_tables(
     use_cache: bool = True,
 ) -> DeviceTables:
     special_tokens = special_tokens or {}
-    # v6: added whole-piece vocab hash table (bump on schema changes)
-    cache_path = _cache_dir() / f"tables_v6_{_vocab_digest(ranks, special_tokens)}.npz"
+    # v7: added single-hash 8-slot vocab table (bump on schema changes)
+    cache_path = _cache_dir() / f"tables_v7_{_vocab_digest(ranks, special_tokens)}.npz"
     if use_cache and cache_path.exists():
         z = np.load(cache_path)
         return DeviceTables(
@@ -246,6 +289,9 @@ def build_tables(
             vocab_ranks=z["vocab_ranks"],
             vhash_rows=z["vhash_rows"],
             vhash_mask=int(z["vhash_mask"]),
+            vhash8_rows=z["vhash8_rows"],
+            vhash8_mask=int(z["vhash8_mask"]),
+            vhash8_dropped=int(z["vhash8_dropped"]),
         )
 
     # --- pair-merge relation: every 2-split of every vocab token -----------
@@ -316,6 +362,9 @@ def build_tables(
     vhash_rows, vhash_mask = _build_vocab_hash(
         vocab_keys, vocab_lens, vocab_ranks
     )
+    vhash8_rows, vhash8_mask, vhash8_dropped = _build_vocab_hash8(
+        vocab_keys, vocab_lens, vocab_ranks
+    )
 
     # --- merge-reachability audit ------------------------------------------
     from .hostengine import byte_pair_encode
@@ -342,6 +391,9 @@ def build_tables(
         vocab_ranks=vocab_ranks,
         vhash_rows=vhash_rows,
         vhash_mask=vhash_mask,
+        vhash8_rows=vhash8_rows,
+        vhash8_mask=vhash8_mask,
+        vhash8_dropped=vhash8_dropped,
     )
     if use_cache:
         tmp = cache_path.with_suffix(f".tmp{os.getpid()}.npz")
@@ -362,6 +414,9 @@ def build_tables(
             vocab_ranks=vocab_ranks,
             vhash_rows=vhash_rows,
             vhash_mask=vhash_mask,
+            vhash8_rows=vhash8_rows,
+            vhash8_mask=vhash8_mask,
+            vhash8_dropped=vhash8_dropped,
         )
         os.replace(tmp, cache_path)
     return tables

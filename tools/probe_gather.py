@@ -1,0 +1,69 @@
+"""Real-TPU probe: row-gather cost vs row width.
+
+The whole-piece vocab probe is a row gather per piece; whether it is
+latency-bound (count of rows) or bandwidth-bound (bytes moved) decides
+the right table layout (one 192 B 8-slot row vs fingerprint+verify
+split). Times gathers of P rows from a (nb, W) int32 table for
+W in {2, 8, 24, 48} at the resident pipeline's scale (P = p_cap * 8
+windows). Device-trace protocol; no D2H before timing.
+
+Usage: timeout 1200 python tools/probe_gather.py
+"""
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+from tools.probe_prims import device_ms
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tokendagger_tpu.engine import _enable_persistent_compile_cache
+
+    _enable_persistent_compile_cache(jax)
+    print("devices:", jax.devices(), flush=True)
+
+    NB = 1 << 17          # table buckets (matches vhash8)
+    B, P = 8, 349_536     # windows x p_cap (1 MB window, caps_for)
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, NB, (B, P)).astype(np.int32))
+    jax.block_until_ready(idx)
+
+    reps = 16
+    for W in (2, 8, 24, 48):
+        tab = jnp.asarray(rng.integers(0, 2**31, (NB, W)).astype(np.int32))
+
+        def f(idx, tab=tab):
+            r = tab[idx]                      # (B, P, W)
+            return r.sum(axis=-1).sum(axis=-1)
+
+        jf = jax.jit(f)
+        out = jf(idx)
+        jax.block_until_ready(out)
+        td = tempfile.mkdtemp(prefix=f"gather_w{W}_")
+        t0 = time.perf_counter()
+        with jax.profiler.trace(td):
+            for _ in range(reps):
+                out = jf(idx)
+            jax.block_until_ready(out)
+        wall = (time.perf_counter() - t0) / reps * 1e3
+        try:
+            dms = device_ms(td, reps)
+        except Exception:
+            dms = float("nan")
+        rows_per_s = B * P / (dms / 1e3) if dms == dms and dms else 0.0
+        gbps = B * P * W * 4 / (dms / 1e3) / 1e9 if dms == dms and dms else 0.0
+        print(f"W={W:3d} ({W*4:4d} B/row): device {dms:8.3f} ms  "
+              f"wall {wall:8.2f} ms  {rows_per_s/1e6:7.1f} Mrows/s  "
+              f"{gbps:6.1f} GB/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
