@@ -124,6 +124,7 @@ def device_resident_main(args) -> None:
         window=args.window, reps=args.runs + 2,
         batch=args.resident_batch,
         starts_impl=args.starts_impl,
+        compact_impl=args.compact_impl,
     )
     print(json.dumps({
         "metric": "tpu_kernel_throughput_llama4",
@@ -147,9 +148,12 @@ def main() -> None:
                     help="tpu-resident window bytes")
     ap.add_argument("--resident-batch", type=int, default=8,
                     help="tpu-resident windows per dispatch (vmapped)")
-    ap.add_argument("--starts-impl", default="jnp",
+    ap.add_argument("--starts-impl", default="bits-pallas",
                     choices=["jnp", "sweep", "bits", "bits-pallas"],
                     help="tpu-resident piece-start formulation")
+    ap.add_argument("--compact-impl", default="butterfly",
+                    choices=["sort", "butterfly"],
+                    help="tpu-resident piece compaction")
     ap.add_argument("--threads", type=int,
                     default=min(32, os.cpu_count() or 8))
     args = ap.parse_args()

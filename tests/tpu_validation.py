@@ -76,7 +76,8 @@ def main() -> int:
 
     res = run_resident(ranks, specials, vocab.LLAMA4_PATTERN,
                        make_corpus(1 << 21).encode(), window=1 << 20,
-                       reps=3, trials=2)
+                       reps=3, trials=2, batch=2,
+                       starts_impl="bits-pallas", compact_impl="butterfly")
     report["resident"] = res.to_dict()
     ok &= res.match_host
 

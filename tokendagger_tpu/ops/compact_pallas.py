@@ -1,0 +1,370 @@
+r"""Pallas stream compaction for piece starts (replaces the sort path).
+
+The resolver needs the piece-start positions (and their 16-byte join-key
+words) compacted from an (N,)-dense mask into p_cap slots in stream
+order. XLA can only express this as a scatter or a 5-operand sort over
+all N positions (~36 ms per 8 MB dispatch on v5e — the pipeline's
+largest stage). This module does it with **displacement butterflies**:
+
+  stable compaction moves element i left by disp[i] = (# dead slots
+  before i) — a monotone displacement, so processing its bits LSB->MSB
+  with "take from the right by 2^b where the source's bit b is set"
+  is collision-free (vector semantics read all sources before writing;
+  a live target that is overwritten moves simultaneously because
+  monotone displacements give equal low bits to adjacent live slots).
+
+Two kernels:
+
+* ``compact_tiles`` — grid (B, G): each (R, 128) tile compacts its live
+  elements to the tile front in VMEM (15 butterfly rounds) and DMAs the
+  tile to the output at its window's running ROW offset (rows of 128;
+  the next tile's copy overwrites this tile's garbage tail rows —
+  sequential grid). Output is therefore row-quantized: tile regions are
+  dense, with < 128 dead slots between regions. Per-tile counts go to a
+  (B, G) side output.
+* ``degap`` — grid (B,): removes the inter-tile gaps with one
+  full-window butterfly (the gapped arrays are ~N/3 and fit VMEM), one
+  value array per call to stay inside the 16 MB scoped-VMEM budget.
+
+Reference behavior being accelerated: the whole-piece fast path of
+/root/reference/src/tiktoken/tiktoken.cpp:210-215 needs each pretoken's
+bytes; this supplies (start, key-words) per pretoken in stream order.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LANES = 128
+
+
+def _iota2(shape, axis):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+
+
+def _roll_raster(x, k: int):
+    """Cyclic raster roll: out[w] = x[(w - k) mod n] on an (R, L) tile."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    r, l = x.shape
+    n = r * l
+    k = k % n
+    if k == 0:
+        return x
+    q, s = divmod(k, l)
+    if s == 0:
+        return pltpu.roll(x, q, 0)
+    xl = pltpu.roll(x, s, 1)
+    a = pltpu.roll(xl, q, 0)
+    b = pltpu.roll(xl, q + 1, 0)
+    col = _iota2(x.shape, 1)
+    return jnp.where(col < s, b, a)
+
+
+def _raster_incl_sum(x):
+    """Inclusive raster prefix sum of an (R, L) int32 tile (row-major)."""
+    r, l = x.shape
+    col = _iota2(x.shape, 1)
+    row = _iota2(x.shape, 0)
+    y = x
+    k = 1
+    while k < l:  # inclusive scan within each row
+        y = y + jnp.where(col >= k, _roll_raster_axis1(y, k), 0)
+        k *= 2
+    # broadcast each row's total (last lane of y) across its row: suffix
+    # sum of the one-hot picked at col l-1
+    sm = jnp.where(col == l - 1, y, 0)
+    k = 1
+    while k < l:
+        sm = sm + jnp.where(col < l - k, _roll_raster_axis1(sm, l - k), 0)
+        k *= 2
+    rowtot = sm
+    rowpref = rowtot  # inclusive scan of row totals down rows
+    k = 1
+    while k < r:
+        rowpref = rowpref + jnp.where(
+            row >= k, _roll_raster_axis0(rowpref, k), 0
+        )
+        k *= 2
+    return y + (rowpref - rowtot)  # add sum of full rows above
+
+
+def _roll_raster_axis1(x, k):
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.roll(x, k, 1)
+
+
+def _roll_raster_axis0(x, k):
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.roll(x, k, 0)
+
+
+def _butterfly(arrays, disp, n: int):
+    """Move every element left by its displacement (LSB->MSB rounds).
+    arrays/disp are (R, L) int32 raster tiles; disp must be 0 on dead
+    slots and monotone non-decreasing over live slots."""
+    bit = 0
+    while (1 << bit) < n:
+        k = 1 << bit
+        sd = _roll_raster(disp, n - k)   # sd[j] = disp[j + k]
+        m = ((sd >> bit) & 1) == 1
+        arrays = [
+            jnp.where(m, _roll_raster(a, n - k), a) for a in arrays
+        ]
+        disp = jnp.where(m, sd, disp)
+        bit += 1
+    return arrays
+
+
+def compact_tiles(
+    starts: jnp.ndarray,     # (B, N) int32 0/1 live mask (byte-level)
+    words: tuple,            # 4x (B, N) int32 key words (bitcast uint32)
+    nbytes: jnp.ndarray,     # (B,) int32
+    *,
+    p_cap: int,
+    tile_rows: int = 256,
+    interpret: bool = False,
+):
+    """Tile-compact (start positions + key words); returns 5 gapped
+    (B, OutRows, L) arrays [gidx, w0, w4, w8, w12] + (B, G) tile counts.
+    OutRows = ceil(p_cap/L) + G + tile_rows slack rows; regions are in
+    stream order at row-quantized offsets (cumsum(ceil(cnt/L)))."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N = starts.shape
+    R, L = tile_rows, LANES
+    blk = R * L
+    assert N % blk == 0, (N, blk)
+    G = N // blk
+    out_rows = -(-p_cap // L) + G + R
+    n_vals = 5
+
+    def kern(nb_ref, st_ref, w0_ref, w1_ref, w2_ref, w3_ref,
+             *rest):
+        out_refs = rest[:n_vals]
+        cnt_ref = rest[n_vals]
+        scratch = rest[n_vals + 1 : n_vals + 1 + n_vals]
+        sems = rest[n_vals + 1 + n_vals]
+        carry = rest[-1]
+        b = pl.program_id(0)
+        g = pl.program_id(1)
+        row_off = jnp.where(g == 0, 0, carry[0])
+
+        row = _iota2((R, L), 0)
+        col = _iota2((R, L), 1)
+        lidx = row * L + col
+        gidx = g * blk + lidx
+        live = (st_ref[0] != 0) & (gidx < nb_ref[b])
+        live_i = live.astype(jnp.int32)
+        incl = _raster_incl_sum(live_i)
+        cnt = incl[R - 1, L - 1]
+        pos = incl - live_i
+        disp = jnp.where(live, lidx - pos, 0)
+
+        vals = [gidx, w0_ref[0], w1_ref[0], w2_ref[0], w3_ref[0]]
+        vals = _butterfly(vals, disp, blk)
+
+        safe_off = jnp.minimum(row_off, out_rows - R)
+        copies = []
+        for i in range(n_vals):
+            scratch[i][...] = vals[i]
+            c = pltpu.make_async_copy(
+                scratch[i],
+                out_refs[i].at[b, pl.ds(safe_off, R), :],
+                sems.at[i],
+            )
+            c.start()
+            copies.append(c)
+        for c in copies:
+            c.wait()
+        cnt_ref[b * G + g] = cnt
+        carry[0] = safe_off + (cnt + (L - 1)) // L
+
+    grid = (B, G)
+    tile = pl.BlockSpec((1, R, L), lambda b, g: (b, g, 0))
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B,), lambda b, g: (0,),
+                         memory_space=pltpu.SMEM),
+        ] + [tile] * 5,
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(n_vals)
+        ] + [
+            # real-TPU lowering rejects partial SMEM blocks: expose the
+            # counts as ONE flat (B*G,) SMEM array and index it manually
+            pl.BlockSpec((B * G,), lambda b, g: (0,),
+                         memory_space=pltpu.SMEM)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, out_rows, L), jnp.int32)
+            for _ in range(n_vals)
+        ] + [jax.ShapeDtypeStruct((B * G,), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((R, L), jnp.int32) for _ in range(n_vals)]
+        + [pltpu.SemaphoreType.DMA((n_vals,)), pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+    )(
+        nbytes,
+        starts.reshape(B, G * R, L),
+        *[w.reshape(B, G * R, L) for w in words],
+    )
+    return out[:n_vals], out[n_vals].reshape(B, G)
+
+
+def degap(
+    arrays: list,            # list of (B, OutRows, L) int32 gapped arrays
+    cnts: jnp.ndarray,       # (B, G) int32 per-tile live counts
+    *,
+    p_rows: int,             # output rows (ceil(p_cap / L))
+    tile_rows: int = 256,
+    interpret: bool = False,
+    fill: int = 0,
+):
+    """Remove inter-tile gaps: one full-window butterfly per window.
+    One value array per pallas_call (scoped-VMEM budget: the butterfly
+    keeps ~6 window-sized tiles live). Slots beyond the total live count
+    are set to ``fill``."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, out_rows, L = arrays[0].shape
+    G = cnts.shape[1]
+    R = tile_rows
+    n = out_rows * L
+
+    def run(group):
+        nv = len(group)
+
+        def kern(cnt_ref, *rest):
+            in_refs = rest[:nv]
+            out_refs = rest[nv : 2 * nv]
+            b = pl.program_id(0)
+            row = _iota2((out_rows, L), 0)
+            col = _iota2((out_rows, L), 1)
+            lidx = row * L + col
+            live = jnp.zeros((out_rows, L), jnp.bool_)
+            off = jnp.int32(0)
+            total = jnp.int32(0)
+            for g in range(G):
+                c = cnt_ref[b * G + g]
+                lo = off * L
+                live = live | ((lidx >= lo) & (lidx < lo + c))
+                off = off + (c + (L - 1)) // L
+                total = total + c
+            live_i = live.astype(jnp.int32)
+            incl = _raster_incl_sum(live_i)
+            pos = incl - live_i
+            disp = jnp.where(live, lidx - pos, 0)
+            vals = [r[0] for r in in_refs]
+            vals = _butterfly(vals, disp, n)
+            keep = lidx < total
+            for oref, v in zip(out_refs, vals):
+                oref[0] = jnp.where(keep, v, jnp.int32(fill))[:p_rows, :]
+
+        tile_in = pl.BlockSpec((1, out_rows, L), lambda b: (b, 0, 0))
+        tile_out = pl.BlockSpec((1, p_rows, L), lambda b: (b, 0, 0))
+        return pl.pallas_call(
+            kern,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((B * G,), lambda b: (0,),
+                             memory_space=pltpu.SMEM)  # per-tile counts
+            ] + [tile_in] * nv,
+            out_specs=[tile_out] * nv,
+            out_shape=[
+                jax.ShapeDtypeStruct((B, p_rows, L), jnp.int32)
+            ] * nv,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                # Mosaic's stack accounting is conservative over the 19
+                # butterfly rounds; the physical VMEM is far larger than
+                # the 16 MB default scoped limit
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(cnts.reshape(-1), *group)
+
+    outs = []
+    for a in arrays:
+        outs.extend(run([a]))
+    return outs
+
+
+@partial(
+    jax.jit,
+    static_argnames=("p_cap", "tile_rows", "interpret"),
+)
+def compact_piece_keys_butterfly(
+    starts_b: jnp.ndarray,   # (B, N) bool byte-level piece-start flags
+    data: jnp.ndarray,       # (B, N) uint8 raw windows
+    nbytes: jnp.ndarray,     # (B,) int32
+    p_cap: int,
+    *,
+    tile_rows: int = 256,
+    interpret: bool = False,
+):
+    """Batched drop-in for compact_piece_keys_sorted (same per-window
+    contract, plus a batch axis): returns (start_b, piece_len, k0..k3,
+    n_pieces) with identical pad semantics, via the butterfly kernels
+    instead of a 5-operand sort."""
+    from .join import sliding_words
+
+    B, N = data.shape
+    L = LANES
+    p_rows = -(-p_cap // L)
+    p_pad = p_rows * L
+
+    w = jax.vmap(sliding_words)(data, nbytes)
+    st = starts_b.astype(jnp.int32)
+    (gapped, cnts) = compact_tiles(
+        st, tuple(x.astype(jnp.int32) for x in w), nbytes,
+        p_cap=p_cap, tile_rows=tile_rows, interpret=interpret,
+    )
+    dense = degap(
+        list(gapped), cnts, p_rows=p_rows, tile_rows=tile_rows,
+        interpret=interpret,
+    )
+    n_pieces = jnp.sum(cnts, axis=1)
+
+    pslot = jnp.arange(p_pad, dtype=jnp.int32)[None, :]
+    live = pslot < jnp.minimum(n_pieces, p_cap)[:, None]
+    start_b = jnp.where(
+        live, dense[0].reshape(B, p_pad), nbytes[:, None]
+    )
+    nxt = jnp.concatenate(
+        [start_b[:, 1:], jnp.zeros((B, 1), start_b.dtype)], axis=1
+    )
+    end_b = jnp.where(
+        pslot == (n_pieces - 1)[:, None], nbytes[:, None], nxt
+    )
+    piece_len = jnp.where(live, end_b - start_b, 0)
+
+    def mask_word(k, j):
+        r = jnp.clip(piece_len - 4 * j, 0, 4)
+        m = jnp.where(
+            r >= 4,
+            jnp.uint32(0xFFFFFFFF),
+            (jnp.uint32(1) << (jnp.uint32(8) * r.astype(jnp.uint32)))
+            - jnp.uint32(1),
+        )
+        return k.reshape(B, p_pad).astype(jnp.uint32) & m
+
+    k0 = mask_word(dense[1], 0)
+    k1 = mask_word(dense[2], 1)
+    k2 = mask_word(dense[3], 2)
+    k3 = mask_word(dense[4], 3)
+    out_slice = slice(None, p_cap)
+    return (start_b[:, out_slice], piece_len[:, out_slice],
+            k0[:, out_slice], k1[:, out_slice], k2[:, out_slice],
+            k3[:, out_slice], n_pieces)

@@ -40,7 +40,8 @@ class ResidentResult:
     match_host: bool            # ids bit-identical to the host oracle
     batch: int = 1              # windows per dispatch (vmapped stages)
     impl: str = "scatter"       # compaction strategy (ascii-sort/sort/scatter)
-    starts_impl: str = "jnp"    # piece-start formulation (jnp/sweep)
+    starts_impl: str = "jnp"    # piece-start formulation (jnp/sweep/bits*)
+    compact_impl: str = "sort"  # piece compaction (sort/butterfly)
 
     def to_dict(self):
         return asdict(self)
@@ -90,6 +91,7 @@ def run_resident(
     batch: int = 1,
     impl: str = "auto",
     starts_impl: str = "jnp",
+    compact_impl: str = "sort",
 ) -> ResidentResult:
     import jax
     import jax.numpy as jnp
@@ -226,10 +228,12 @@ def run_resident(
 
             af = impl == "ascii-sort"
             if starts_impl == "bits-pallas":
+                interp_s = jax.default_backend() != "tpu"
                 v_starts = jax.jit(
                     lambda cp, m: piece_starts_bits_pallas(
                         cp, m, page_ids, pages, contractions=True,
                         profile="llama4", ascii_fast=af,
+                        interpret=interp_s,
                     )
                 )
             else:
@@ -241,7 +245,23 @@ def run_resident(
                 ))
         else:
             v_starts = jax.jit(jax.vmap(starts_stage))
-        v_compact = jax.jit(jax.vmap(compact_stage))
+        if compact_impl == "butterfly" and impl != "ascii-sort":
+            # the butterfly path takes byte-level start flags (char == byte,
+            # i.e. all-ASCII windows); degrade to the sort otherwise
+            compact_impl = "sort"
+        if compact_impl == "butterfly":
+            # Pallas displacement-butterfly compaction (ops/compact_pallas):
+            # replaces the 5-operand full-window sort.
+            from .ops.compact_pallas import compact_piece_keys_butterfly
+
+            interp = jax.default_backend() != "tpu"
+            v_compact = jax.jit(
+                lambda st, cob, boc, d, nb: compact_piece_keys_butterfly(
+                    st, d, nb, p_cap, interpret=interp
+                )
+            )
+        else:
+            v_compact = jax.jit(jax.vmap(compact_stage))
         v_probe = jax.jit(jax.vmap(probe_stage))
         v_fin = jax.jit(jax.vmap(fin_stage))
 
@@ -366,4 +386,5 @@ def run_resident(
         batch=max(batch, 1),
         impl=impl,
         starts_impl=starts_impl if batch > 1 else "jnp",
+        compact_impl=compact_impl if batch > 1 else "sort",
     )

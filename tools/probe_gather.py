@@ -36,7 +36,65 @@ def main():
     idx = jnp.asarray(rng.integers(0, NB, (B, P)).astype(np.int32))
     jax.block_until_ready(idx)
 
+    # --- vocab_probe8 in isolation (real table, random keys) --------------
+    from tokendagger_tpu import vocab
+    from tokendagger_tpu.ops.join import vocab_probe8
+    from tokendagger_tpu.tables import build_tables
+
+    ranks = vocab.load_tiktoken_model("/root/reference/src/tokenizer.model")
+    t = build_tables(ranks, {})
+    rows8 = jnp.asarray(t.vhash8_rows)
+    qk = [jnp.asarray(rng.integers(0, 2**31, (B, P)).astype(np.uint32))
+          for _ in range(4)]
+    ql = jnp.asarray(rng.integers(1, 17, (B, P)).astype(np.int32))
+    jax.block_until_ready([rows8, ql] + qk)
+
+    def probe_arm(k0, k1, k2, k3, ql):
+        return jax.vmap(
+            lambda a, b, c, d, e: vocab_probe8(
+                a, b, c, d, e, rows8, t.vhash8_mask
+            )
+        )(k0, k1, k2, k3, ql)
+
+    from tokendagger_tpu.ops.join import vocab_probe8g
+
+    def probe_arm_g(k0, k1, k2, k3, ql):
+        return jax.vmap(
+            lambda a, b, c, d, e: vocab_probe8g(
+                a, b, c, d, e, rows8, t.vhash8_mask
+            )
+        )(k0, k1, k2, k3, ql)
+
+    def gather_only(k0, k1, k2, k3, ql):
+        from tokendagger_tpu.ops.join import _vhash_ab_jnp
+        from tokendagger_tpu.ops.merge import _mix
+
+        a, b = _vhash_ab_jnp(k0, k1, k2, k3, ql)
+        h = _mix(a, b, 0, t.vhash8_mask)
+        return rows8[h].sum(axis=-1).sum(axis=-1).sum(axis=-1)
+
     reps = 16
+    for name, jf, args in (
+        ("probe8", jax.jit(probe_arm), (*qk, ql)),
+        ("probe8g", jax.jit(probe_arm_g), (*qk, ql)),
+        ("gather1", jax.jit(gather_only), (*qk, ql)),
+    ):
+        out = jf(*args)
+        jax.block_until_ready(out)
+        td = tempfile.mkdtemp(prefix=f"ga_{name}_")
+        t0 = time.perf_counter()
+        with jax.profiler.trace(td):
+            for _ in range(reps):
+                out = jf(*args)
+            jax.block_until_ready(out)
+        wall = (time.perf_counter() - t0) / reps * 1e3
+        try:
+            dms = device_ms(td, reps)
+        except Exception:
+            dms = float("nan")
+        print(f"{name:8s}: device {dms:8.3f} ms  wall {wall:8.2f} ms",
+              flush=True)
+
     for W in (2, 8, 24, 48):
         tab = jnp.asarray(rng.integers(0, 2**31, (NB, W)).astype(np.int32))
 
