@@ -149,7 +149,7 @@ def main() -> None:
     ap.add_argument("--resident-batch", type=int, default=8,
                     help="tpu-resident windows per dispatch (vmapped)")
     ap.add_argument("--starts-impl", default="bits-pallas",
-                    choices=["jnp", "sweep", "bits", "bits-pallas"],
+                    choices=["jnp", "bits", "bits-pallas"],
                     help="tpu-resident piece-start formulation")
     ap.add_argument("--compact-impl", default="butterfly",
                     choices=["sort", "butterfly"],

@@ -380,10 +380,14 @@ def _cls_bit_ascii(cp, name):
     return hit
 
 
+# contraction fold-letter ids (index into scanner_ref._FOLD_ORDER:
+# s t r e v m l d)
+_S, _T, _R, _E, _V, _M, _L, _D = range(8)
+
+
 def _char_masks(cp, m, page_ids, pages, *, contractions: bool,
                 ascii_fast: bool = False):
     from .pretokenize import _cls_lookup, _fold_is, _shl
-    from .sweep_starts import _D, _E, _L, _M, _R, _S, _T, _V
 
     n = cp.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)

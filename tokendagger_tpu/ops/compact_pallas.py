@@ -301,6 +301,57 @@ def degap(
     return outs
 
 
+def compact_by_mask(
+    arrays: list,            # list of (B, P) int32 arrays (P % 128 == 0)
+    mask: jnp.ndarray,       # (B, P) bool: elements to keep, stream order
+    *,
+    interpret: bool = False,
+    fill: int = 0,
+):
+    """Stable-compact ``arrays`` by ``mask`` with one full-array butterfly
+    per window (grid (B,)); slots beyond the kept count get ``fill``.
+    One value array per pallas_call (scoped-VMEM budget)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, P = mask.shape
+    L = LANES
+    assert P % L == 0, P
+    rows = P // L
+    n = P
+    mask_i = mask.astype(jnp.int32).reshape(B, rows, L)
+
+    def run(val):
+        def kern(m_ref, v_ref, o_ref):
+            live = m_ref[0] != 0
+            live_i = live.astype(jnp.int32)
+            incl = _raster_incl_sum(live_i)
+            total = incl[rows - 1, L - 1]
+            pos = incl - live_i
+            row = _iota2((rows, L), 0)
+            col = _iota2((rows, L), 1)
+            lidx = row * L + col
+            disp = jnp.where(live, lidx - pos, 0)
+            (v,) = _butterfly([v_ref[0]], disp, n)
+            o_ref[0] = jnp.where(lidx < total, v, jnp.int32(fill))
+
+        tile = pl.BlockSpec((1, rows, L), lambda b: (b, 0, 0))
+        return pl.pallas_call(
+            kern,
+            grid=(B,),
+            in_specs=[tile, tile],
+            out_specs=tile,
+            out_shape=jax.ShapeDtypeStruct((B, rows, L), jnp.int32),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(mask_i, val.reshape(B, rows, L)).reshape(B, P)
+
+    return [run(a) for a in arrays]
+
+
 @partial(
     jax.jit,
     static_argnames=("p_cap", "tile_rows", "interpret"),
@@ -368,3 +419,47 @@ def compact_piece_keys_butterfly(
     return (start_b[:, out_slice], piece_len[:, out_slice],
             k0[:, out_slice], k1[:, out_slice], k2[:, out_slice],
             k3[:, out_slice], n_pieces)
+
+
+@partial(jax.jit, static_argnames=("p_cap", "interpret"))
+def finalize_butterfly(
+    start_b: jnp.ndarray,    # (B, p_cap) int32
+    piece_len: jnp.ndarray,  # (B, p_cap) int32
+    rank: jnp.ndarray,       # (B, p_cap) int32 (rank or -1)
+    n_pieces: jnp.ndarray,   # (B,) int32
+    trim: jnp.ndarray,       # scalar int32 (must cover whole windows)
+    *,
+    p_cap: int,
+    interpret: bool = False,
+):
+    """Batched finalize for complete windows (trim >= nbytes): flat ids
+    need no compaction (kept == live in slot order); the miss spans
+    compact with the mask butterfly instead of a 3-operand sort. Same
+    per-window contract as fused.finalize_host_sorted(untrimmed=True)."""
+    from .fused import SENTINEL
+
+    B = start_b.shape[0]
+    L = LANES
+    p_pad = -(-p_cap // L) * L
+    pslot = jnp.arange(p_cap, dtype=jnp.int32)[None, :]
+    live = pslot < jnp.minimum(n_pieces, p_cap)[:, None]
+    n_kept = jnp.minimum(n_pieces, p_cap)
+    end_b = start_b + piece_len
+    consumed = jnp.max(jnp.where(live, end_b, 0), axis=1)
+    overflow = n_pieces > p_cap
+    hit = live & (rank >= 0)
+    miss = live & (rank < 0)
+    flat = jnp.where(live, jnp.where(hit, rank, SENTINEL), -1)
+    n_ms = jnp.sum(miss.astype(jnp.int32), axis=1)
+
+    def pad(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full((B, p_pad - p_cap), fill, x.dtype)], axis=1
+        )
+
+    ms_s, ms_l = compact_by_mask(
+        [pad(start_b, 0), pad(piece_len, 0)],
+        pad(miss, False), interpret=interpret,
+    )
+    return (flat, n_kept, n_pieces, n_kept, consumed, overflow,
+            ms_s[:, :p_cap], ms_l[:, :p_cap], n_ms)

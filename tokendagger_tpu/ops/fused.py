@@ -49,8 +49,10 @@ def caps_for(n: int) -> dict[str, int]:
     return dict(
         # English averages ~4.5 B/piece but code and short-word corpora
         # can dip below 4 (measured 3.7 on mixed prose+URLs); n//3 keeps
-        # realistic windows out of the overflow fallback
-        p_cap=max(512, n // 3),
+        # realistic windows out of the overflow fallback. Rounded up to a
+        # lane multiple: misaligned minor dims cost ~2x on the probe's
+        # gathered rows (relayout padding on v5e).
+        p_cap=max(512, -(-(n // 3) // 128) * 128),
         m16=max(256, n // 16),
         m64=max(64, n // 128),
         m256=max(32, n // 1024),

@@ -206,18 +206,7 @@ def run_resident(
                                 tables.vhash8_mask)
 
         v_dec = jax.jit(jax.vmap(dec_stage))
-        if starts_impl == "sweep":
-            # Pallas sweep formulation: handles the (B, N) batch natively
-            # (grid=(B, G)); one program instead of ~77 fused scan kernels.
-            from .ops.sweep_starts import piece_starts_sweep
-
-            v_starts = jax.jit(
-                lambda cp, m: piece_starts_sweep(
-                    cp, m, page_ids, pages, contractions=True,
-                    profile="llama4",
-                )
-            )
-        elif starts_impl in ("bits", "bits-pallas"):
+        if starts_impl in ("bits", "bits-pallas"):
             # bit-plane boolean-run derivation (ops/bitplane.py): 32 chars
             # per word; "bits-pallas" keeps every scan VMEM-resident. For
             # all-ASCII windows (already verified on the host for the
@@ -263,7 +252,19 @@ def run_resident(
         else:
             v_compact = jax.jit(jax.vmap(compact_stage))
         v_probe = jax.jit(jax.vmap(probe_stage))
-        v_fin = jax.jit(jax.vmap(fin_stage))
+        if compact_impl == "butterfly":
+            # miss-span compaction via the mask butterfly (no sort)
+            from .ops.compact_pallas import finalize_butterfly
+
+            interp_f = jax.default_backend() != "tpu"
+            v_fin = jax.jit(
+                lambda sb, pl_, rank, npc: finalize_butterfly(
+                    sb, pl_, rank, npc, trim, p_cap=p_cap,
+                    interpret=interp_f,
+                )
+            )
+        else:
+            v_fin = jax.jit(jax.vmap(fin_stage))
 
         stk_dev = jnp.stack(
             [wins[i % n_windows][0] for i in range(batch)]

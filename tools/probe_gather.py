@@ -73,11 +73,33 @@ def main():
         h = _mix(a, b, 0, t.vhash8_mask)
         return rows8[h].sum(axis=-1).sum(axis=-1).sum(axis=-1)
 
+    # real-text keys: actual corpus pieces (hot buckets: common words
+    # repeat, concentrating gathers on few rows)
+    from tokendagger_tpu.hostengine import HostEngine
+
+    host = HostEngine(vocab.LLAMA4_PATTERN, ranks, {})
+    corpus = Path("results/corpus_4194304.txt").read_text()[: 1 << 20]
+    pieces = [m.group().encode() for m in host._re.finditer(corpus)]
+    pk = np.zeros((P, 16), np.uint8)
+    pln = np.zeros(P, np.int32)
+    for i in range(P):
+        p = pieces[i % len(pieces)]
+        pk[i, : min(16, len(p))] = np.frombuffer(p[:16], np.uint8)
+        pln[i] = len(p)
+    pkw = pk.view("<u4").reshape(P, 4)
+    qk_r = [jnp.asarray(np.broadcast_to(pkw[:, j], (B, P)).copy())
+            for j in range(4)]
+    ql_r = jnp.asarray(np.broadcast_to(pln, (B, P)).copy())
+    jax.block_until_ready(qk_r + [ql_r])
+
     reps = 16
     for name, jf, args in (
         ("probe8", jax.jit(probe_arm), (*qk, ql)),
         ("probe8g", jax.jit(probe_arm_g), (*qk, ql)),
+        ("probe8_real", jax.jit(probe_arm), (*qk_r, ql_r)),
+        ("probe8g_real", jax.jit(probe_arm_g), (*qk_r, ql_r)),
         ("gather1", jax.jit(gather_only), (*qk, ql)),
+        ("gather1_real", jax.jit(gather_only), (*qk_r, ql_r)),
     ):
         out = jf(*args)
         jax.block_until_ready(out)
