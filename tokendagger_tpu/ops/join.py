@@ -268,36 +268,6 @@ def vocab_probe8(
     return jnp.max(jnp.where(hit, r[:, 40:48], -1), axis=1)
 
 
-@partial(jax.jit, static_argnames=("vhash8_mask",))
-def vocab_probe8g(
-    qk0: jnp.ndarray, qk1: jnp.ndarray, qk2: jnp.ndarray, qk3: jnp.ndarray,
-    qlen: jnp.ndarray,
-    vhash8_rows: jnp.ndarray,
-    vhash8_mask: int,
-) -> jnp.ndarray:
-    """vocab_probe8 with the compare work restructured to one full-width
-    (P, 48) equality against a column-selected expectation tensor (the
-    slot-major row layout makes the 5 field compares narrow (P, 8) ops
-    otherwise). Same results; kept separate pending a measured winner."""
-    from .merge import _mix
-
-    a, b = _vhash_ab_jnp(qk0, qk1, qk2, qk3, qlen)
-    h = _mix(a, b, 0, vhash8_mask)
-    r = jax.lax.optimization_barrier(vhash8_rows[h])  # (P, 48)
-    col = jax.lax.broadcasted_iota(jnp.int32, r.shape, r.ndim - 1)
-    i = [x.astype(jnp.int32)[..., None] for x in (qk0, qk1, qk2, qk3, qlen)]
-    exp = jnp.where(
-        col < 8, i[0],
-        jnp.where(col < 16, i[1],
-                  jnp.where(col < 24, i[2],
-                            jnp.where(col < 32, i[3], i[4]))),
-    )
-    eq = r == exp  # cols >= 40 (rank slots) are don't-care below
-    hit = (eq[..., 0:8] & eq[..., 8:16] & eq[..., 16:24]
-           & eq[..., 24:32] & eq[..., 32:40])
-    return jnp.max(jnp.where(hit, r[..., 40:48], -1), axis=-1)
-
-
 def vocab_probe8_np(qk, qlen, vhash8_rows, vhash8_mask):
     """Numpy reference of vocab_probe8 (for tests)."""
     from ..tables import _mix_hash, _vhash_ab

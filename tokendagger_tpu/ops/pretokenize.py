@@ -878,6 +878,23 @@ _piece_starts_j = jax.jit(
 )
 
 
+def _piece_starts_bits_j(cp, m, page_ids, pages, *, contractions, profile):
+    from .bitplane import piece_starts_bits
+
+    global _piece_starts_bits_jit
+    if _piece_starts_bits_jit is None:
+        _piece_starts_bits_jit = jax.jit(
+            piece_starts_bits,
+            static_argnames=("contractions", "profile", "ascii_fast"),
+        )
+    return _piece_starts_bits_jit(
+        cp, m, page_ids, pages, contractions=contractions, profile=profile
+    )
+
+
+_piece_starts_bits_jit = None
+
+
 def scan_bytes(
     data: jnp.ndarray,      # (N,) uint8, 0-padded
     nbytes: jnp.ndarray,    # scalar int32
@@ -913,6 +930,20 @@ def compute_starts(
     without one fall back to match_lengths + pointer-doubling chain."""
     eff = profile or ("llama4" if contractions else "nocontract")
     if eff in ("llama4", "nocontract"):
+        import jax
+
+        if jax.default_backend() != "cpu":
+            # bit-plane formulation (ops/bitplane.py): measured 1.3x the
+            # char-per-element derivation on v5e even with the class-table
+            # gather (ASCII fast paths go further; see docs/PERF.md). The
+            # CPU backend keeps the char form: its compile time for the
+            # ~10k-op bit graph dominates test runs.
+            from .bitplane import piece_starts_bits
+
+            return _piece_starts_bits_j(
+                cp, m, page_ids, pages, contractions=contractions,
+                profile=profile,
+            )
         return _piece_starts_j(
             cp, m, page_ids, pages, contractions=contractions, profile=profile
         )

@@ -56,14 +56,6 @@ def main():
             )
         )(k0, k1, k2, k3, ql)
 
-    from tokendagger_tpu.ops.join import vocab_probe8g
-
-    def probe_arm_g(k0, k1, k2, k3, ql):
-        return jax.vmap(
-            lambda a, b, c, d, e: vocab_probe8g(
-                a, b, c, d, e, rows8, t.vhash8_mask
-            )
-        )(k0, k1, k2, k3, ql)
 
     def gather_only(k0, k1, k2, k3, ql):
         from tokendagger_tpu.ops.join import _vhash_ab_jnp
@@ -95,11 +87,8 @@ def main():
     reps = 16
     for name, jf, args in (
         ("probe8", jax.jit(probe_arm), (*qk, ql)),
-        ("probe8g", jax.jit(probe_arm_g), (*qk, ql)),
         ("probe8_real", jax.jit(probe_arm), (*qk_r, ql_r)),
-        ("probe8g_real", jax.jit(probe_arm_g), (*qk_r, ql_r)),
         ("gather1", jax.jit(gather_only), (*qk, ql)),
-        ("gather1_real", jax.jit(gather_only), (*qk_r, ql_r)),
     ):
         out = jf(*args)
         jax.block_until_ready(out)
