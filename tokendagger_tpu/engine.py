@@ -142,7 +142,10 @@ class DeviceEngine:
                 self._window = SCAN_SIZES[1]
                 self._max_window = SCAN_SIZES[1]
             else:
-                self._window = SCAN_SIZES[-1]
+                # 4 MB: the largest window whose butterfly-compaction
+                # degap arrays fit VMEM (the fast kernels beat the saved
+                # per-window syncs; see docs/PERF.md)
+                self._window = SCAN_SIZES[3]
                 self._max_window = MAX_WINDOW
 
     # ==================================================================
@@ -238,7 +241,9 @@ class DeviceEngine:
         mode (docs/PERF.md); each stage alone runs in ~0.1 ms/MB."""
         jnp = self._jnp
         from .ops import pretokenize as PT
-        from .ops.fused import caps_for, finalize_host, resolve_window
+        from .ops.fused import (
+            caps_for, finalize_host, finalize_host_sorted, resolve_window,
+        )
         from .ops.join import compact_piece_keys, vocab_join, vocab_probe8
 
         n = len(window)
@@ -247,16 +252,38 @@ class DeviceEngine:
         buf[:n] = np.frombuffer(window, dtype=np.uint8)
         dev = jnp.asarray(buf)
         nb = jnp.int32(n)
-        cp, _, boc, m = PT._utf8_decode_j(dev, nb, use_pallas=self._use_pallas)
+        cp, cob, boc, m = PT._utf8_decode_j(
+            dev, nb, use_pallas=self._use_pallas
+        )
         starts = PT.compute_starts(
             cp, m, self._page_ids, self._pages,
             contractions=self._contractions, profile=self._profile,
         )
         if self.miss_mode == "host":
             p_cap = caps_for(N)["p_cap"]
-            sb, pl, k0, k1, k2, k3, npc = compact_piece_keys(
-                starts, boc, dev, nb, p_cap
-            )
+            if (self._use_pallas and N % (128 * 128) == 0
+                    and N <= (1 << 22)):
+                # real TPU: butterfly compaction + sorted trim-aware
+                # finalize (the scatter forms lower pathologically on v5e
+                # — docs/PERF.md)
+                from .ops.compact_pallas import (
+                    compact_piece_keys_butterfly,
+                )
+
+                stb = PT._starts_to_bytes_j(starts, cob, dev, nb)
+                tile_rows = min(256, N // 128)
+                sb, pl, k0, k1, k2, k3, npc = (
+                    o[0] for o in compact_piece_keys_butterfly(
+                        stb[None], dev[None], nb[None], p_cap,
+                        tile_rows=tile_rows,
+                    )
+                )
+                fin = finalize_host_sorted
+            else:
+                sb, pl, k0, k1, k2, k3, npc = compact_piece_keys(
+                    starts, boc, dev, nb, p_cap
+                )
+                fin = finalize_host
             if self.join_mode == "sort":
                 rank = vocab_join(k0, k1, k2, k3, pl, self._vk,
                                   self._vlen, self._vrank)
@@ -264,7 +291,7 @@ class DeviceEngine:
                 rank = vocab_probe8(k0, k1, k2, k3, pl, self._vhash_rows,
                                     self.tables.vhash8_mask)
             (flat, total, _n_pieces, _n_kept, consumed, overflow,
-             os_s, os_l, n_os) = finalize_host(
+             os_s, os_l, n_os) = fin(
                 sb, pl, rank, npc, jnp.int32(trim), p_cap=p_cap
             )
         else:

@@ -56,7 +56,9 @@ def pair_lookup(rows: jnp.ndarray, mask: int, a: jnp.ndarray, b: jnp.ndarray) ->
     out = jnp.full(a.shape, MAX_RANK, jnp.int32)
     for which in (0, 1):
         h = _mix(a, b, which, mask)
-        r = rows[h]  # (..., 12) row gather
+        # barrier: 3 slice consumers would otherwise rematerialize the
+        # row gather into each fusion (see ops/join.vocab_probe8)
+        r = jax.lax.optimization_barrier(rows[h])  # (..., 12) row gather
         hit = (r[..., 0:4] == a[..., None]) & (r[..., 4:8] == b[..., None])
         vals = jnp.max(jnp.where(hit, r[..., 8:12], -1), axis=-1)
         out = jnp.where((out == MAX_RANK) & (vals >= 0), vals, out)

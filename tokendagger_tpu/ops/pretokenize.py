@@ -46,9 +46,17 @@ def _prevpos(mask: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def _cls_lookup(cp: jnp.ndarray, page_ids: jnp.ndarray, pages: jnp.ndarray):
-    """Class bitmask via the page-compressed two-level table (~39 KB of
-    gather target instead of 1.1 MB; see unicode_tables.get_two_level_tables)."""
-    return pages[page_ids[cp >> 8].astype(jnp.int32), cp & 0xFF].astype(jnp.int32)
+    """Class bitmask per codepoint.
+
+    Expanded to a flat single-level int32 table inside the program: the
+    expansion is 0x1100 cheap row gathers (~4 µs), and ONE int32 element
+    gather per char then runs 2.7x the chained uint8 two-level form on
+    v5e (60 vs 160 ms per 8M chars — results/probe_cls.log; element
+    gathers are issue-bound, so halving the gather count and avoiding
+    sub-word loads is everything). The barrier keeps the per-char gather
+    from being rematerialized into the 6+ mask consumer fusions."""
+    flat = pages[page_ids.astype(jnp.int32)].astype(jnp.int32).reshape(-1)
+    return jax.lax.optimization_barrier(flat[cp])
 
 
 _FOLD_CPS: dict[int, "np.ndarray"] | None = None
