@@ -166,6 +166,16 @@ def main() -> None:
         device_resident_main(args)
         return
 
+    # Warm the hypervisor's lazy memory grant before timing anything: this
+    # microVM demand-faults fresh pages from the host at ~12-90 MB/s, which
+    # at GB scale otherwise dominates BOTH arms (see tools/prefault.py).
+    try:
+        from tools.prefault import prefault
+
+        prefault(min(24, int(args.mb / 1024 * 14) + 6))
+    except Exception as e:  # noqa: BLE001 - never block the bench on warmup
+        print(f"prefault warmup skipped: {e}", file=sys.stderr)
+
     n_bytes = int(args.mb * 1024 * 1024)
     corpus = _corpus_cached(n_bytes)
     chunk = args.chunk_kb * 1024

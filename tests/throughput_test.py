@@ -170,9 +170,24 @@ def main() -> int:
     ap.add_argument("--skip-tiktoken", action="store_true")
     ap.add_argument("--skip-hf", action="store_true")
     ap.add_argument("--output", default=None, help="JSON output path")
+    ap.add_argument("--prefault-gb", type=int, default=-1,
+                    help="pre-fault this many GB before timing so hypervisor "
+                         "demand-faults don't pollute the numbers (-1 = auto "
+                         "from --text-size, 0 = skip; see tools/prefault.py)")
     args = ap.parse_args()
 
     thread_counts = [int(x) for x in args.threads.split(",")]
+
+    if args.prefault_gb != 0:
+        from tools.prefault import prefault
+        gb = args.prefault_gb
+        if gb < 0:
+            # peak footprint: corpus + chunk copies + both engines' result
+            # lists (~8 B/token ours, ~32 B/token tiktoken, at ~4.2 B/token
+            # density) + generation slack; tiktoken's arm dominates
+            gb = min(48, int(args.text_size / 1024 * 14) + 6)
+        print(f"Pre-faulting {gb} GB (hypervisor grant warmup)...")
+        prefault(gb)
 
     import tokendagger_tpu as td
 
