@@ -125,6 +125,7 @@ def device_resident_main(args) -> None:
         batch=args.resident_batch,
         starts_impl=args.starts_impl,
         compact_impl=args.compact_impl,
+        probe_impl=args.probe_impl,
     )
     print(json.dumps({
         "metric": "tpu_kernel_throughput_llama4",
@@ -154,6 +155,9 @@ def main() -> None:
     ap.add_argument("--compact-impl", default="butterfly",
                     choices=["sort", "butterfly"],
                     help="tpu-resident piece compaction")
+    ap.add_argument("--probe-impl", default="transposed",
+                    choices=["transposed", "barrier"],
+                    help="tpu-resident vocab probe formulation")
     ap.add_argument("--threads", type=int,
                     default=min(32, os.cpu_count() or 8))
     args = ap.parse_args()

@@ -89,6 +89,42 @@ def test_probe8_matches_dict_and_numpy(llama_tables):
     assert (got == got_np).all()
 
 
+def test_probe8t_matches_probe8(llama_tables):
+    """The transposed-compare probe is pointwise identical to
+    vocab_probe8 (same table, same deliberate false misses), both
+    unbatched and vmapped."""
+    import jax
+
+    from tokendagger_tpu.ops.join import vocab_probe8t, vocab_probe8_np
+
+    ranks, t = llama_tables
+    pieces = _query_pieces(ranks)
+    # plus adversarial junk: random keys/lens exercise empty slots and
+    # every mismatch pattern
+    rng = np.random.default_rng(11)
+    qk, qlens = _keys_for(pieces)
+    qk = np.concatenate(
+        [qk, rng.integers(0, 2**32, (300, 4), dtype=np.uint32)]
+    )
+    qlens = np.concatenate(
+        [qlens, rng.integers(0, 17, 300).astype(np.int32)]
+    )
+    rows = jnp.asarray(t.vhash8_rows)
+    want = vocab_probe8_np(qk, qlens, t.vhash8_rows, t.vhash8_mask)
+    args = (
+        jnp.asarray(qk[:, 0]), jnp.asarray(qk[:, 1]), jnp.asarray(qk[:, 2]),
+        jnp.asarray(qk[:, 3]), jnp.asarray(qlens),
+    )
+    got = np.asarray(vocab_probe8t(*args, rows, t.vhash8_mask))
+    assert (got == want).all()
+    vp = jax.vmap(
+        lambda a, b, c, d, e: vocab_probe8t(a, b, c, d, e, rows,
+                                            t.vhash8_mask)
+    )
+    got_b = np.asarray(vp(*[x[None].repeat(2, 0) for x in args]))
+    assert (got_b == want[None]).all()
+
+
 def test_sort_join_matches_dict(llama_tables):
     ranks, t = llama_tables
     pieces = _query_pieces(ranks)

@@ -244,7 +244,7 @@ class DeviceEngine:
         from .ops.fused import (
             caps_for, finalize_host, finalize_host_sorted, resolve_window,
         )
-        from .ops.join import compact_piece_keys, vocab_join, vocab_probe8
+        from .ops.join import compact_piece_keys, vocab_join, vocab_probe8t
 
         n = len(window)
         N = next(s for s in SCAN_SIZES if s >= n)
@@ -288,8 +288,10 @@ class DeviceEngine:
                 rank = vocab_join(k0, k1, k2, k3, pl, self._vk,
                                   self._vlen, self._vrank)
             else:
-                rank = vocab_probe8(k0, k1, k2, k3, pl, self._vhash_rows,
-                                    self.tables.vhash8_mask)
+                # transposed-compare probe: 2.1x the (P, 48) barrier
+                # form on v5e (ops/join.vocab_probe8t docstring)
+                rank = vocab_probe8t(k0, k1, k2, k3, pl, self._vhash_rows,
+                                     self.tables.vhash8_mask)
             (flat, total, _n_pieces, _n_kept, consumed, overflow,
              os_s, os_l, n_os) = fin(
                 sb, pl, rank, npc, jnp.int32(trim), p_cap=p_cap

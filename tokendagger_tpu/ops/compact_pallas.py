@@ -105,12 +105,17 @@ def _roll_raster_axis0(x, k):
     return pltpu.roll(x, k, 0)
 
 
-def _butterfly(arrays, disp, n: int):
+def _butterfly(arrays, disp, n: int, max_disp: int | None = None):
     """Move every element left by its displacement (LSB->MSB rounds).
     arrays/disp are (R, L) int32 raster tiles; disp must be 0 on dead
-    slots and monotone non-decreasing over live slots."""
+    slots and monotone non-decreasing over live slots. ``max_disp``
+    bounds the displacement magnitude when the caller can prove one
+    (fewer rounds): degap's displacement is the inter-tile garbage,
+    < G*L, not the window size."""
+    if max_disp is None:
+        max_disp = n
     bit = 0
-    while (1 << bit) < n:
+    while (1 << bit) < max_disp:
         k = 1 << bit
         sd = _roll_raster(disp, n - k)   # sd[j] = disp[j + k]
         m = ((sd >> bit) & 1) == 1
@@ -230,11 +235,14 @@ def degap(
     tile_rows: int = 256,
     interpret: bool = False,
     fill: int = 0,
+    group: int = 5,
 ):
     """Remove inter-tile gaps: one full-window butterfly per window.
-    One value array per pallas_call (scoped-VMEM budget: the butterfly
-    keeps ~6 window-sized tiles live). Slots beyond the total live count
-    are set to ``fill``."""
+    ``group`` arrays share one pallas_call (one displacement scan for
+    all of them); the butterfly is bounded to the inter-tile garbage
+    (< G*L slots — each tile leaves < L dead slots — so ~12 rounds, not
+    log2(window)). Slots beyond the total live count are set to
+    ``fill``."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -242,6 +250,11 @@ def degap(
     G = cnts.shape[1]
     R = tile_rows
     n = out_rows * L
+    # displacement bound: garbage before region g is sum of < L dead
+    # slots per earlier tile; clamped (overflowing) windows are flagged
+    # and discarded by the caller, so the bound only needs the
+    # non-overflow case
+    max_disp = G * L
 
     def run(group):
         nv = len(group)
@@ -267,7 +280,7 @@ def degap(
             pos = incl - live_i
             disp = jnp.where(live, lidx - pos, 0)
             vals = [r[0] for r in in_refs]
-            vals = _butterfly(vals, disp, n)
+            vals = _butterfly(vals, disp, n, max_disp=max_disp)
             keep = lidx < total
             for oref, v in zip(out_refs, vals):
                 oref[0] = jnp.where(keep, v, jnp.int32(fill))[:p_rows, :]
@@ -296,8 +309,8 @@ def degap(
         )(cnts.reshape(-1), *group)
 
     outs = []
-    for a in arrays:
-        outs.extend(run([a]))
+    for i in range(0, len(arrays), max(1, group)):
+        outs.extend(run(arrays[i : i + max(1, group)]))
     return outs
 
 

@@ -268,6 +268,52 @@ def vocab_probe8(
     return jnp.max(jnp.where(hit, r[:, 40:48], -1), axis=1)
 
 
+@partial(jax.jit, static_argnames=("vhash8_mask",))
+def vocab_probe8t(
+    qk0: jnp.ndarray, qk1: jnp.ndarray, qk2: jnp.ndarray, qk3: jnp.ndarray,
+    qlen: jnp.ndarray,          # (P,) int32 piece byte lengths
+    vhash8_rows: jnp.ndarray,   # (nb8, 48) int32 (tables._build_vocab_hash8)
+    vhash8_mask: int,
+) -> jnp.ndarray:
+    """Transposed-compare whole-piece lookup: rank or -1 per query.
+
+    Identical table and result to :func:`vocab_probe8`, but the gathered
+    rows are materialized TRANSPOSED — (48, P) instead of (P, 48) — so
+    every subsequent compare/select is a full-lane op on minor dim P.
+    vocab_probe8's extra cost is not the gather or the materialization
+    (barrier + sum == raw gather, 5.75 vs 5.74 ms at 2.8M rows on v5e)
+    but its (P, 8)-shaped compare intermediates, which run at 8/128 lane
+    utilization. Measured (tools/probe_gather.py, 2.8M pieces):
+    probe8 15.94 ms -> probe8t 7.57 ms, vs the 5.69 ms issue-bound
+    gather floor (491 Mrows/s regardless of row width)."""
+    from .merge import _mix
+
+    i0 = qk0.astype(jnp.int32)
+    i1 = qk1.astype(jnp.int32)
+    i2 = qk2.astype(jnp.int32)
+    i3 = qk3.astype(jnp.int32)
+    a, b = _vhash_ab_jnp(qk0, qk1, qk2, qk3, qlen)
+    h = _mix(a, b, 0, vhash8_mask)
+    # barrier: keeps the transposed gather result as ONE materialization
+    # (40 slice consumers below would otherwise re-gather 40x)
+    rT = jax.lax.optimization_barrier(
+        jnp.swapaxes(vhash8_rows[h], -1, -2)
+    )                                                # (48, P)
+    out = jnp.full(qlen.shape, -1, jnp.int32)
+    for s in range(8):
+        hit = (
+            (rT[..., s, :] == i0)
+            & (rT[..., 8 + s, :] == i1)
+            & (rT[..., 16 + s, :] == i2)
+            & (rT[..., 24 + s, :] == i3)
+            & (rT[..., 32 + s, :] == qlen)
+        )
+        out = jnp.maximum(
+            out, jnp.where(hit, rT[..., 40 + s, :], -1)
+        )
+    return out
+
+
 def vocab_probe8_np(qk, qlen, vhash8_rows, vhash8_mask):
     """Numpy reference of vocab_probe8 (for tests)."""
     from ..tables import _mix_hash, _vhash_ab

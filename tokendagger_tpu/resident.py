@@ -42,6 +42,7 @@ class ResidentResult:
     impl: str = "scatter"       # compaction strategy (ascii-sort/sort/scatter)
     starts_impl: str = "jnp"    # piece-start formulation (jnp/sweep/bits*)
     compact_impl: str = "sort"  # piece compaction (sort/butterfly)
+    probe_impl: str = "transposed"  # vocab probe (transposed/barrier)
 
     def to_dict(self):
         return asdict(self)
@@ -92,6 +93,7 @@ def run_resident(
     impl: str = "auto",
     starts_impl: str = "jnp",
     compact_impl: str = "sort",
+    probe_impl: str = "transposed",
 ) -> ResidentResult:
     import jax
     import jax.numpy as jnp
@@ -103,6 +105,7 @@ def run_resident(
     )
     from .ops.join import (
         compact_piece_keys, compact_piece_keys_sorted, vocab_probe8,
+        vocab_probe8t,
     )
     from .tables import build_tables
     from .unicode_tables import get_two_level_tables
@@ -117,6 +120,19 @@ def run_resident(
     vlen = jnp.asarray(tables.vocab_lens)
     vrank = jnp.asarray(tables.vocab_ranks)
     vhash_rows = jnp.asarray(tables.vhash8_rows)
+    if miss_mode != "host":
+        probe_impl = "barrier"  # resolve_window hardcodes vocab_probe8
+    # "transposed": gathered rows materialized as (48, P) so compares run
+    # full-lane (2.1x the barrier form, measured — ops/join.vocab_probe8t);
+    # "barrier": (P, 48) materialization + slice compares
+    if probe_impl == "transposed":
+        def probe_fn(k0, k1, k2, k3, pl):
+            return vocab_probe8t(k0, k1, k2, k3, pl, vhash_rows,
+                                 tables.vhash8_mask)
+    else:
+        def probe_fn(k0, k1, k2, k3, pl):
+            return vocab_probe8(k0, k1, k2, k3, pl, vhash_rows,
+                                tables.vhash8_mask)
 
     N = window
     caps = caps_for(N)
@@ -175,8 +191,7 @@ def run_resident(
             sb, pl, k0, k1, k2, k3, npc = compact_stage(
                 starts, cob, boc, dev, nb
             )
-            rank = vocab_probe8(k0, k1, k2, k3, pl, vhash_rows,
-                                tables.vhash8_mask)
+            rank = probe_fn(k0, k1, k2, k3, pl)
             return fin_stage(sb, pl, rank, npc)
         return resolve_window(
             starts, boc, dev, nb, trim, byte_rank, pair_rows, pair_lut,
@@ -202,8 +217,7 @@ def run_resident(
             )
 
         def probe_stage(k0, k1, k2, k3, pl):
-            return vocab_probe8(k0, k1, k2, k3, pl, vhash_rows,
-                                tables.vhash8_mask)
+            return probe_fn(k0, k1, k2, k3, pl)
 
         v_dec = jax.jit(jax.vmap(dec_stage))
         if starts_impl in ("bits", "bits-pallas"):
@@ -388,4 +402,5 @@ def run_resident(
         impl=impl,
         starts_impl=starts_impl if batch > 1 else "jnp",
         compact_impl=compact_impl if batch > 1 else "sort",
+        probe_impl=probe_impl,
     )
