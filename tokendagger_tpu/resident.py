@@ -232,20 +232,23 @@ def run_resident(
             af = impl == "ascii-sort"
             if starts_impl == "bits-pallas":
                 interp_s = jax.default_backend() != "tpu"
-                v_starts = jax.jit(
-                    lambda cp, m: piece_starts_bits_pallas(
+
+                def starts_bits_pallas_stage(cp, m):
+                    return piece_starts_bits_pallas(
                         cp, m, page_ids, pages, contractions=True,
                         profile="llama4", ascii_fast=af,
                         interpret=interp_s,
                     )
-                )
+
+                v_starts = jax.jit(starts_bits_pallas_stage)
             else:
-                v_starts = jax.jit(jax.vmap(
-                    lambda c, mm: piece_starts_bits(
+                def starts_bits_stage(c, mm):
+                    return piece_starts_bits(
                         c, mm, page_ids, pages, contractions=True,
                         profile="llama4", ascii_fast=af,
                     )
-                ))
+
+                v_starts = jax.jit(jax.vmap(starts_bits_stage))
         else:
             v_starts = jax.jit(jax.vmap(starts_stage))
         if compact_impl == "butterfly" and impl != "ascii-sort":
@@ -258,11 +261,13 @@ def run_resident(
             from .ops.compact_pallas import compact_piece_keys_butterfly
 
             interp = jax.default_backend() != "tpu"
-            v_compact = jax.jit(
-                lambda st, cob, boc, d, nb: compact_piece_keys_butterfly(
+
+            def compact_butterfly_stage(st, cob, boc, d, nb):
+                return compact_piece_keys_butterfly(
                     st, d, nb, p_cap, interpret=interp
                 )
-            )
+
+            v_compact = jax.jit(compact_butterfly_stage)
         else:
             v_compact = jax.jit(jax.vmap(compact_stage))
         v_probe = jax.jit(jax.vmap(probe_stage))
@@ -271,12 +276,14 @@ def run_resident(
             from .ops.compact_pallas import finalize_butterfly
 
             interp_f = jax.default_backend() != "tpu"
-            v_fin = jax.jit(
-                lambda sb, pl_, rank, npc: finalize_butterfly(
+
+            def finalize_butterfly_stage(sb, pl_, rank, npc):
+                return finalize_butterfly(
                     sb, pl_, rank, npc, trim, p_cap=p_cap,
                     interpret=interp_f,
                 )
-            )
+
+            v_fin = jax.jit(finalize_butterfly_stage)
         else:
             v_fin = jax.jit(jax.vmap(fin_stage))
 

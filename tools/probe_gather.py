@@ -3,9 +3,10 @@
 The whole-piece vocab probe is a row gather per piece; whether it is
 latency-bound (count of rows) or bandwidth-bound (bytes moved) decides
 the right table layout (one 192 B 8-slot row vs fingerprint+verify
-split). Times gathers of P rows from a (nb, W) int32 table for
-W in {2, 8, 24, 48} at the resident pipeline's scale (P = p_cap * 8
-windows). Device-trace protocol; no D2H before timing.
+split). Arms cover the probe formulations
+(barrier+slice probe8, transposed probe8t, count-word encodings) and raw
+gathers at the resident pipeline's scale (P = p_cap * 8 windows).
+Device-trace protocol; no D2H before timing. Findings in docs/PERF.md.
 
 Usage: timeout 1200 python tools/probe_gather.py
 """
@@ -249,33 +250,6 @@ def main():
             dms = float("nan")
         print(f"{name:8s}: device {dms:8.3f} ms  wall {wall:8.2f} ms",
               flush=True)
-
-    for W in ():
-        tab = jnp.asarray(rng.integers(0, 2**31, (NB, W)).astype(np.int32))
-
-        def f(idx, tab=tab):
-            r = tab[idx]                      # (B, P, W)
-            return r.sum(axis=-1).sum(axis=-1)
-
-        jf = jax.jit(f)
-        out = jf(idx)
-        jax.block_until_ready(out)
-        td = tempfile.mkdtemp(prefix=f"gather_w{W}_")
-        t0 = time.perf_counter()
-        with jax.profiler.trace(td):
-            for _ in range(reps):
-                out = jf(idx)
-            jax.block_until_ready(out)
-        wall = (time.perf_counter() - t0) / reps * 1e3
-        try:
-            dms = device_ms(td, reps)
-        except Exception:
-            dms = float("nan")
-        rows_per_s = B * P / (dms / 1e3) if dms == dms and dms else 0.0
-        gbps = B * P * W * 4 / (dms / 1e3) / 1e9 if dms == dms and dms else 0.0
-        print(f"W={W:3d} ({W*4:4d} B/row): device {dms:8.3f} ms  "
-              f"wall {wall:8.2f} ms  {rows_per_s/1e6:7.1f} Mrows/s  "
-              f"{gbps:6.1f} GB/s", flush=True)
 
 
 if __name__ == "__main__":
