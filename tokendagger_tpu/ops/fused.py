@@ -42,17 +42,22 @@ SENTINEL = np.int32(2**31 - 2)  # flat-stream marker for an oversize piece
 W16, W64, W256 = 16, 64, 256
 
 
-def caps_for(n: int) -> dict[str, int]:
+def caps_for(n: int, bytes_per_piece: float = 3.0) -> dict[str, int]:
     """Static capacities for a window of n bytes: piece slots and per-width
     miss-row capacities (merge arrays scale with these, so they are sized
-    for realistic worst cases, with an overflow flag for the rest)."""
+    for realistic worst cases, with an overflow flag for the rest).
+
+    ``bytes_per_piece`` sets the piece-slot capacity (probe/compact/
+    finalize cost all scale with it). The default 3.0 covers code and
+    short-word corpora (measured 3.7 B/piece on mixed prose+URLs;
+    English averages ~4.3-4.5). A caller that knows its corpus density
+    may size tighter (e.g. 4.0 for English) — a denser window sets the
+    overflow flag and takes the exact fallback path, so a wrong guess
+    costs time, never correctness."""
     return dict(
-        # English averages ~4.5 B/piece but code and short-word corpora
-        # can dip below 4 (measured 3.7 on mixed prose+URLs); n//3 keeps
-        # realistic windows out of the overflow fallback. Rounded up to a
-        # lane multiple: misaligned minor dims cost ~2x on the probe's
-        # gathered rows (relayout padding on v5e).
-        p_cap=max(512, -(-(n // 3) // 128) * 128),
+        # Rounded up to a lane multiple: misaligned minor dims cost ~2x
+        # on the probe's gathered rows (relayout padding on v5e).
+        p_cap=max(512, -(-int(n / bytes_per_piece) // 128) * 128),
         m16=max(256, n // 16),
         m64=max(64, n // 128),
         m256=max(32, n // 1024),

@@ -43,6 +43,7 @@ class ResidentResult:
     starts_impl: str = "jnp"    # piece-start formulation (jnp/sweep/bits*)
     compact_impl: str = "sort"  # piece compaction (sort/butterfly)
     probe_impl: str = "transposed"  # vocab probe (transposed/barrier)
+    cap_bpp: float = 3.0        # piece-slot sizing (bytes/piece)
 
     def to_dict(self):
         return asdict(self)
@@ -94,6 +95,7 @@ def run_resident(
     starts_impl: str = "jnp",
     compact_impl: str = "sort",
     probe_impl: str = "transposed",
+    cap_bytes_per_piece: float = 3.0,
 ) -> ResidentResult:
     import jax
     import jax.numpy as jnp
@@ -135,7 +137,7 @@ def run_resident(
                                 tables.vhash8_mask)
 
     N = window
-    caps = caps_for(N)
+    caps = caps_for(N, bytes_per_piece=cap_bytes_per_piece)
     p_cap = caps["p_cap"]
     mask = tables.pair.mask
 
@@ -410,4 +412,5 @@ def run_resident(
         starts_impl=starts_impl if batch > 1 else "jnp",
         compact_impl=compact_impl if batch > 1 else "sort",
         probe_impl=probe_impl,
+        cap_bpp=cap_bytes_per_piece,
     )
