@@ -95,6 +95,7 @@ class Tokenizer:
         self._native = None  # C++ host engine, built lazily
         self._native_tried = False
         self._tables = None  # compiled vocab tables (tables.py), lazy
+        self._unstable_aux = None  # encode_with_unstable tables, lazy
         # frozenset identity marks the common "disallow all specials" case
         # so the bigram prefilter groups are computed once
         self._all_specials_frozen = frozenset(self._special_tokens)
@@ -479,6 +480,148 @@ class Tokenizer:
         decoder = functools.partial(self.decode, errors=errors)
         with ThreadPoolExecutor(num_threads) as e:
             return list(e.map(decoder, tokens))
+
+    def decode_bytes_batch(
+        self, tokens: Sequence[Sequence[int]], *, num_threads: int = 8
+    ) -> list[bytes]:
+        """tiktoken-compatible batch of :meth:`decode_bytes`."""
+        with ThreadPoolExecutor(num_threads) as e:
+            return list(e.map(self.decode_bytes, tokens))
+
+    def encode_to_numpy(
+        self,
+        text: str,
+        *,
+        allowed_special: Literal["all"] | AbstractSet[str] = set(),
+        disallowed_special: Literal["all"] | Collection[str] = "all",
+    ) -> np.ndarray:
+        """tiktoken-compatible: encode straight to a uint32 array."""
+        ids = self.encode(
+            text,
+            allowed_special=allowed_special,
+            disallowed_special=disallowed_special,
+        )
+        return np.asarray(ids, dtype=np.uint32)
+
+    # Unicode White_Space codepoints (Rust char::is_whitespace semantics;
+    # Python str.isspace() additionally accepts U+001C..001F, which would
+    # diverge from tiktoken here)
+    _WHITE_SPACE = frozenset(
+        [0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20, 0x85, 0xA0, 0x1680]
+        + list(range(0x2000, 0x200B)) + [0x2028, 0x2029, 0x202F, 0x205F,
+                                         0x3000]
+    )
+
+    def _get_unstable_aux(self):
+        """(sorted vocab byte-strings, rank->bytes dict), lazily built for
+        encode_with_unstable."""
+        if self._unstable_aux is None:
+            self._unstable_aux = (
+                sorted(self._mergeable_ranks),
+                {v: k for k, v in self._mergeable_ranks.items()},
+            )
+        return self._unstable_aux
+
+    def encode_with_unstable(
+        self,
+        text: str,
+        *,
+        allowed_special: Literal["all"] | AbstractSet[str] = set(),
+        disallowed_special: Literal["all"] | Collection[str] = "all",
+    ) -> tuple[list[int], list[list[int]]]:
+        """tiktoken-compatible unstable-token analysis: the stable prefix
+        of ``encode(text)`` plus every token sequence the unstable tail
+        could begin with if more text were appended.
+
+        Semantics follow tiktoken's ``encode_with_unstable`` (the
+        correctness oracle; differential test
+        tests/test_unstable.py): the unstable region is the last
+        pretoken's tokens, widened across trailing all-space tokens
+        (whitespace regex splits move as text grows); completions are
+        (a) every vocab token extending the unstable bytes and (b) for
+        each split point, re-encodings of unstable-prefix + any vocab
+        token extending the suffix, truncated once they cover the
+        unstable bytes; plus the whitespace boundary re-split case."""
+        import bisect
+
+        allowed, disallowed = self._resolve_special(
+            allowed_special, disallowed_special
+        )
+        self._check_disallowed(text, disallowed)
+        tokens, lptl = self._host.encode(text, allowed)
+        stb, dec = self._get_unstable_aux()
+        ranks = self._mergeable_ranks
+
+        def all_space(tid: int) -> bool:
+            b = dec.get(tid)
+            return b is not None and all(c in b" \n\t" for c in b)
+
+        if lptl > 0 and all_space(tokens[len(tokens) - lptl]):
+            while (lptl < len(tokens)
+                   and all_space(tokens[len(tokens) - lptl - 1])):
+                lptl += 1
+        if lptl == 0:
+            return tokens, []
+        unstable = b"".join(dec[t] for t in tokens[len(tokens) - lptl:])
+        stable = tokens[: len(tokens) - lptl]
+        if not unstable:
+            return stable, []
+        completions: set[tuple[int, ...]] = set()
+
+        # (a) single vocab tokens that extend (or equal) the unstable bytes
+        i = bisect.bisect_left(stb, unstable)
+        while i < len(stb) and stb[i].startswith(unstable):
+            completions.add((ranks[stb[i]],))
+            i += 1
+
+        # (b) a token may straddle any internal position of the unstable
+        # bytes: complete the suffix with every vocab token extending it,
+        # re-encode, and keep the sequence prefix covering unstable
+        from .hostengine import byte_pair_merge
+
+        for k in range(1, len(unstable)):
+            prefix, suffix = unstable[:k], unstable[k:]
+            i = bisect.bisect_left(stb, suffix)
+            while i < len(stb) and stb[i].startswith(suffix):
+                candidate = prefix + stb[i]
+                try:
+                    enc_ids = self._host.encode_ordinary(
+                        candidate.decode("utf-8")
+                    )
+                except UnicodeDecodeError:
+                    enc_ids = byte_pair_merge(candidate, ranks)
+                seq: list[int] = []
+                covered = 0
+                for tid in enc_ids:
+                    seq.append(tid)
+                    covered += len(dec[tid])
+                    if covered >= len(unstable):
+                        break
+                completions.add(tuple(seq))
+                i += 1
+
+        # whitespace boundary instability: if the unstable bytes end in a
+        # complete whitespace character with content before it, the regex
+        # may re-split there as text grows
+        if len(unstable) > 1:
+            ch, w = None, 0
+            for k in (1, 2, 3, 4):
+                if k > len(unstable):
+                    break
+                try:
+                    s = unstable[len(unstable) - k:].decode("utf-8")
+                except UnicodeDecodeError:
+                    continue
+                if len(s) == 1:
+                    ch, w = s, k
+                    break
+            if (ch is not None and len(unstable) - w > 0
+                    and ord(ch) in self._WHITE_SPACE):
+                re_enc = byte_pair_merge(unstable[: len(unstable) - w], ranks)
+                re_enc += byte_pair_merge(unstable[len(unstable) - w:], ranks)
+                completions.add(tuple(re_enc))
+
+        return stable, sorted(list(c) for c in completions)
 
     # ------------------------------------------------------------------
     # Decoding (reference wrapper.py:262-290)
