@@ -128,3 +128,41 @@ class TestFactories:
     def test_missing_vocab_raises(self):
         with pytest.raises(ValueError):
             Tokenizer("x", pattern=LLAMA4_PATTERN)
+
+
+class TestAutoRouting:
+    """Auto mode routes by measured dispatch health (wrapper._use_device):
+    large workloads go to the accelerator only when a one-time probe
+    shows co-located-class dispatch latency."""
+
+    def _tok(self, tiny_vocab):
+        ranks, specials = tiny_vocab
+        return Tokenizer(
+            "route", pattern=LLAMA4_PATTERN, mergeable_ranks=ranks,
+            special_tokens=specials, backend="auto",
+        )
+
+    def test_small_inputs_stay_host(self, tiny_vocab):
+        t = self._tok(tiny_vocab)
+        assert not t._use_device(1024)
+
+    def test_large_healthy_device_wins(self, tiny_vocab, monkeypatch):
+        t = self._tok(tiny_vocab)
+        if t._get_native() is None:
+            pytest.skip("native engine unavailable")
+        monkeypatch.setattr(t, "_device_dispatch_ms", lambda: 0.05)
+        assert t._use_device(t._DEVICE_AUTO_MIN_BYTES)
+        assert not t._use_device(t._DEVICE_AUTO_MIN_BYTES - 1)
+
+    def test_large_degraded_runtime_stays_host(self, tiny_vocab, monkeypatch):
+        t = self._tok(tiny_vocab)
+        if t._get_native() is None:
+            pytest.skip("native engine unavailable")
+        monkeypatch.setattr(t, "_device_dispatch_ms", lambda: 30.0)
+        assert not t._use_device(64 << 20)
+
+    def test_cpu_backend_probe_is_unhealthy(self, tiny_vocab):
+        # the suite pins jax to CPU (conftest): the real probe must
+        # report inf so auto never prefers CPU-jax over the native engine
+        t = self._tok(tiny_vocab)
+        assert t._device_dispatch_ms() == float("inf")
