@@ -48,15 +48,23 @@ def _prevpos(mask: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 def _cls_lookup(cp: jnp.ndarray, page_ids: jnp.ndarray, pages: jnp.ndarray):
     """Class bitmask per codepoint.
 
-    Expanded to a flat single-level int32 table inside the program: the
-    expansion is 0x1100 cheap row gathers (~4 µs), and ONE int32 element
-    gather per char then runs 2.7x the chained uint8 two-level form on
-    v5e (60 vs 160 ms per 8M chars — results/probe_cls.log; element
-    gathers are issue-bound, so halving the gather count and avoiding
-    sub-word loads is everything). The barrier keeps the per-char gather
-    from being rematerialized into the 6+ mask consumer fusions."""
+    Expanded to a flat single-level int32 table inside the program (the
+    expansion is 0x1100 cheap row gathers, ~4 µs), then looked up as a
+    16-int32 ROW gather by cp>>4 with a fused one-hot lane select:
+    element gathers run at ~140 Mchars/s on v5e while row gathers are
+    issue-bound at ~491 Mrows/s regardless of width, so fetching the
+    16-entry row containing the codepoint and selecting the lane inside
+    the gather's single consumer fusion is 2.9x faster (60 -> 20.9 ms
+    per 8M chars; width sweep in results/probe_cls3.log — row4 loses,
+    row8/16/32 saturate). The barrier keeps the fused gather+select from
+    being rematerialized into the 6+ mask consumer fusions."""
     flat = pages[page_ids.astype(jnp.int32)].astype(jnp.int32).reshape(-1)
-    return jax.lax.optimization_barrier(flat[cp])
+    tab = flat.reshape(-1, 16)
+    r = tab[cp >> 4]                                  # (N, 16) row gather
+    lane = (cp & 15)[..., None]
+    iot = jax.lax.broadcasted_iota(jnp.int32, (1,) * cp.ndim + (16,), cp.ndim)
+    cls = jnp.where(iot == lane, r, 0).sum(axis=-1)
+    return jax.lax.optimization_barrier(cls)
 
 
 _FOLD_CPS: dict[int, "np.ndarray"] | None = None
