@@ -202,7 +202,7 @@ def compact_tiles(
                          memory_space=pltpu.SMEM),
         ] + [tile] * 5,
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(n_vals)
+            pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_vals)
         ] + [
             # real-TPU lowering rejects partial SMEM blocks: expose the
             # counts as ONE flat (B*G,) SMEM array and index it manually
