@@ -31,7 +31,7 @@ import numpy as np
 
 from . import pretokenize as PT
 from .fused import finalize_host
-from .join import compact_piece_keys, vocab_probe8
+from .join import compact_piece_keys, vocab_probe8t
 
 # (rows, width) grids are padded to these shapes; bounded variants keep
 # compile count small and the XLA persistent cache hot.
@@ -85,7 +85,8 @@ def _compact_g(starts, boc, data, nbytes, *, p_cap):
     return jax.vmap(row)(starts, boc, data, nbytes)
 
 
-_probe_flat = jax.jit(vocab_probe8, static_argnames=("vhash8_mask",))
+# transposed-compare probe: 2.1x the (P, 48) barrier form on v5e
+_probe_flat = jax.jit(vocab_probe8t, static_argnames=("vhash8_mask",))
 
 
 @partial(jax.jit, static_argnames=("p_cap",))
