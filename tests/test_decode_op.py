@@ -58,3 +58,34 @@ class TestDeviceDecode:
         rng = random.Random(5)
         ids = [rng.choice(pool) for _ in range(500)]
         assert _device_decode(t, ids) == host.decode_bytes(ids)
+
+
+class TestWrapperDeviceDecode:
+    """decode_bytes routes large decodes through ops/decode.decode_ids when
+    the workload routes to the device backend (wrapper._decode_bytes_device)."""
+
+    def test_routed_device_decode_matches_host(self, tiny_vocab):
+        from tokendagger_tpu.wrapper import Tokenizer
+
+        ranks, specials = tiny_vocab
+        tok = Tokenizer(
+            "dev-decode", pattern=LLAMA4_PATTERN, mergeable_ranks=ranks,
+            special_tokens=specials, backend="tpu",
+        )
+        text = "the and is it store hello to 123! " * 120
+        ids = tok._host.encode_ordinary(text)
+        assert len(ids) >= tok._DECODE_VEC_MIN
+        assert tok.decode_bytes(ids) == text.encode("utf-8")
+        # the device tables were materialized => the kernel path really ran
+        assert tok._decode_dev is not None
+
+    def test_unknown_id_errors(self, tiny_vocab):
+        from tokendagger_tpu.wrapper import Tokenizer, TokenDaggerError
+
+        ranks, specials = tiny_vocab
+        tok = Tokenizer(
+            "dev-decode2", pattern=LLAMA4_PATTERN, mergeable_ranks=ranks,
+            special_tokens=specials, backend="tpu",
+        )
+        with pytest.raises(TokenDaggerError):
+            tok.decode_bytes([10**7] * 600)

@@ -97,6 +97,7 @@ class Tokenizer:
         self._native_tried = False
         self._tables = None  # compiled vocab tables (tables.py), lazy
         self._unstable_aux = None  # encode_with_unstable tables, lazy
+        self._decode_dev = None  # device-resident decode tables, lazy
         # frozenset identity marks the common "disallow all specials" case
         # so the bigram prefilter groups are computed once
         self._all_specials_frozen = frozenset(self._special_tokens)
@@ -695,10 +696,55 @@ class Tokenizer:
         )
         return t.decode_blob[pos].tobytes()
 
+    def _decode_bytes_device(self, ids: np.ndarray) -> bytes:
+        """Device decode (`ops/decode.decode_ids`): the rank->bytes gather
+        runs on the accelerator against device-resident decode tables.
+        Ids are validated host-side first (the kernel requires
+        pre-validated ids — reference errors on unknown ids,
+        /root/reference/src/tiktoken/tiktoken.cpp:236-255); output caps are
+        power-of-two buckets so the program set stays small."""
+        import jax.numpy as jnp
+
+        from .ops.decode import decode_ids
+
+        t = self._get_tables()
+        if ids.size and (ids.min() < 0 or ids.max() >= t.n_vocab):
+            bad = ids[(ids < 0) | (ids >= t.n_vocab)][0]
+            raise KeyError(f"Unknown token id: {int(bad)}")
+        lens = t.decode_lengths[ids]
+        if (lens < 0).any():
+            bad = ids[lens < 0][0]
+            raise KeyError(f"Unknown token id: {int(bad)}")
+        total = int(lens.astype(np.int64).sum())
+        if total == 0:
+            return b""
+        if self._decode_dev is None:
+            self._decode_dev = (
+                jnp.asarray(t.decode_offsets),
+                jnp.asarray(t.decode_lengths),
+                jnp.asarray(t.decode_blob),
+            )
+        offs_d, lens_d, blob_d = self._decode_dev
+        cap = 1 << max(12, (total - 1).bit_length())
+        out, tot = decode_ids(
+            jnp.asarray(ids.astype(np.int32)), offs_d, lens_d, blob_d, cap
+        )
+        return np.asarray(out)[: int(tot)].tobytes()
+
     def decode_bytes(self, tokens: Sequence[int]) -> bytes:
         try:
             if len(tokens) >= self._DECODE_VEC_MIN:
-                return self._decode_bytes_vec(np.asarray(tokens, dtype=np.int64))
+                ids = np.asarray(tokens, dtype=np.int64)
+                # ~4 output bytes/id: route large decodes with the same
+                # policy as encode (device only when it actually wins)
+                if self._use_device(len(tokens) * 4):
+                    try:
+                        return self._decode_bytes_device(ids)
+                    except KeyError:
+                        raise  # unknown id: same error either path
+                    except Exception:  # noqa: BLE001 - exact host fallback
+                        pass
+                return self._decode_bytes_vec(ids)
             return self._host.decode_bytes(list(tokens))
         except Exception as e:  # noqa: BLE001
             raise TokenDaggerError(f"Decoding failed: {e}") from e
