@@ -75,7 +75,10 @@ def time_encode(encode_fn, text, warmup, runs):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--tokenizer", default="llama", choices=["llama"])
+    ap.add_argument("--tokenizer", default="llama",
+                    choices=["llama", "mistral"],
+                    help="mistral = Tekken-layout stand-in vocab "
+                         "(tools/tekken_standin.py)")
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--runs", type=int, default=100)
     ap.add_argument("--quick", action="store_true",
@@ -90,12 +93,23 @@ def main() -> int:
 
     import tokendagger_tpu as td
 
-    ranks = td.load_tiktoken_model(REFERENCE / "src" / "tokenizer.model")
-    specials = td.load_hf_special_tokens(REFERENCE / "src" / "tokenizer_config.json")
-    ours = td.Encoding("perf", pat_str=td.LLAMA4_PATTERN,
+    if args.tokenizer == "mistral":
+        from tools.tekken_standin import load_standin
+
+        tek = load_standin()
+        pattern = tek["pattern"]
+        ranks = tek["mergeable_ranks"]
+        specials = tek["special_tokens"]
+    else:
+        pattern = td.LLAMA4_PATTERN
+        ranks = td.load_tiktoken_model(REFERENCE / "src" / "tokenizer.model")
+        specials = td.load_hf_special_tokens(
+            REFERENCE / "src" / "tokenizer_config.json"
+        )
+    ours = td.Encoding("perf", pat_str=pattern,
                        mergeable_ranks=ranks, special_tokens=specials)
     ours.backend = args.backend
-    oracle = tiktoken.Encoding("perf", pat_str=td.LLAMA4_PATTERN,
+    oracle = tiktoken.Encoding("perf", pat_str=pattern,
                                mergeable_ranks=ranks, special_tokens=specials)
 
     speedups = []

@@ -11,10 +11,11 @@ from pathlib import Path
 import pytest
 
 FIXTURE = Path(__file__).parent / "golden_llama4.json"
+FIXTURE_TEKKEN = Path(__file__).parent / "golden_tekken.json"
 
 
-def _check_golden(name: str, ids: list[int]) -> None:
-    golden = json.loads(FIXTURE.read_text())[name]
+def _check_golden(name: str, ids: list[int], fixture: Path = FIXTURE) -> None:
+    golden = json.loads(fixture.read_text())[name]
     assert len(ids) == golden["count"]
     assert ids[:8] == golden["head"]
     assert ids[-8:] == golden["tail"]
@@ -50,3 +51,42 @@ def test_lorem_golden_device(llama4_assets, corpus_lorem):
                     special_tokens=specials)
     e.backend = "tpu"
     _check_golden("lorem", e.encode_ordinary(corpus_lorem))
+
+
+# --- Tekken-config goldens (reference's tests/output/{lorem,emoji}.txt are
+# Tekken-encoded dumps; the real tekken.json is stripped from the mount, so
+# these digests are for the stand-in config — tools/tekken_standin.py —
+# including the mistral-driver BOS/[INST] wrap convention,
+# /root/reference/src/mistral_main.cpp:63-74) -------------------------------
+
+
+@pytest.fixture(scope="module")
+def enc_tekken(llama4_assets, tmp_path_factory):
+    import tokendagger_tpu as td
+    from tokendagger_tpu import vocab
+    from tools.tekken_standin import write_standin
+
+    tek = vocab.load_tekken(
+        write_standin(tmp_path_factory.mktemp("tg") / "tekken.json")
+    )
+    e = td.Encoding("golden-tek", pat_str=tek["pattern"],
+                    mergeable_ranks=tek["mergeable_ranks"],
+                    special_tokens=tek["special_tokens"])
+    e.backend = "host"
+    return e
+
+
+def test_tekken_lorem_golden(enc_tekken, corpus_lorem):
+    ids = enc_tekken.encode_ordinary(corpus_lorem)
+    _check_golden("lorem", ids, FIXTURE_TEKKEN)
+    golden = json.loads(FIXTURE_TEKKEN.read_text())["lorem"]
+    wrapped = [1, 3] + ids + [4]
+    assert wrapped[:8] == golden["wrapped_head"]
+    blob = ",".join(map(str, wrapped)).encode()
+    assert hashlib.sha256(blob).hexdigest() == golden["wrapped_sha256"]
+
+
+@pytest.mark.slow
+def test_tekken_emoji_golden(enc_tekken, corpus_emoji):
+    _check_golden("emoji", enc_tekken.encode_ordinary(corpus_emoji),
+                  FIXTURE_TEKKEN)

@@ -13,60 +13,21 @@ special-token handling.
 Layout spec: /root/reference/tests/test_tokendagger_vs_tiktoken.py:61-105.
 """
 
-import base64
-import json
-
 import pytest
 
-from tokendagger_tpu import vocab
-
-N_PREFIX = 130_000
-NUM_SPECIAL = 1000
-
-
-def _special_names() -> list[str]:
-    """1,000 specials shaped like the real Tekken config: named control
-    tokens first, a few deliberately multi-byte/UTF-8, then filler."""
-    names = [
-        "<unk>", "<s>", "</s>", "[INST]", "[/INST]", "[TOOL_CALLS]",
-        "[AVAILABLE_TOOLS]", "[/AVAILABLE_TOOLS]", "[TOOL_RESULTS]",
-        "[/TOOL_RESULTS]", "[IMG]", "[PREFIX]", "[MIDDLE]", "[SUFFIX]",
-        # multi-byte UTF-8 specials (stress the byte-level scanners)
-        "⟦控制⟧", "«spécial»", "🛑STOP🛑", "⟨βήμα⟩",
-    ]
-    i = 0
-    while len(names) < NUM_SPECIAL:
-        names.append(f"<SPECIAL_{i}>")
-        i += 1
-    return names
+from tokendagger_tpu import vocab  # noqa: F401 - re-exported for tests
+from tools.tekken_standin import (
+    NUM_SPECIAL,
+    special_names as _special_names,
+    write_standin,
+)
 
 
 @pytest.fixture(scope="module")
 def tekken_setup(tmp_path_factory, llama4_assets):
-    _, full_ranks, _ = llama4_assets
-    prefix = {tb: r for tb, r in full_ranks.items() if r < N_PREFIX}
-    # Tekken layout: vocab list is rank-ordered; entry i gets id
-    # i + NUM_SPECIAL; specials take ids 0..NUM_SPECIAL-1
-    ordered = sorted(prefix.items(), key=lambda kv: kv[1])
-    cfg = {
-        "config": {
-            "pattern": vocab.TEKKEN_PATTERN,
-            "default_vocab_size": N_PREFIX + NUM_SPECIAL,
-            "default_num_special_tokens": NUM_SPECIAL,
-            "version": "v3",
-        },
-        "vocab": [
-            {"rank": i, "token_bytes": base64.b64encode(tb).decode(),
-             "token_str": None}
-            for i, (tb, _) in enumerate(ordered)
-        ],
-        "special_tokens": [
-            {"rank": i, "token_str": name, "is_control": True}
-            for i, name in enumerate(_special_names())
-        ],
-    }
-    p = tmp_path_factory.mktemp("tekken") / "tekken.json"
-    p.write_text(json.dumps(cfg))
+    # shared stand-in builder (tools/tekken_standin.py): same config the
+    # bench harnesses' --tokenizer mistral flag drives
+    p = write_standin(tmp_path_factory.mktemp("tekken") / "tekken.json")
     return vocab.load_tekken(p)
 
 

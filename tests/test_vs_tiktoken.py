@@ -47,6 +47,15 @@ def load_llama():
     return td.LLAMA4_PATTERN, ranks, specials
 
 
+def load_mistral():
+    """Tekken-layout stand-in (the real tekken.json is stripped from the
+    reference mount; see tools/tekken_standin.py)."""
+    from tools.tekken_standin import load_standin
+
+    tek = load_standin()
+    return tek["pattern"], tek["mergeable_ranks"], tek["special_tokens"]
+
+
 def build_pair(pattern, ranks, specials, backend="auto"):
     import tiktoken
 
@@ -162,11 +171,14 @@ class TestConformance:
 # ---------------------------------------------------------------------------
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--tokenizer", default="llama", choices=["llama"])
+    ap.add_argument("--tokenizer", default="llama",
+                    choices=["llama", "mistral"])
     ap.add_argument("--backend", default="auto", choices=["auto", "host", "tpu"])
     args = ap.parse_args()
 
-    pattern, ranks, specials = load_llama()
+    pattern, ranks, specials = (
+        load_mistral() if args.tokenizer == "mistral" else load_llama()
+    )
     ours, oracle = build_pair(pattern, ranks, specials, args.backend)
 
     total_mismatches = 0

@@ -134,31 +134,42 @@ def bench_tiktoken(corpus, thread_counts, iterations, pattern, ranks, specials):
     return results
 
 
-def bench_hf(corpus, thread_counts, iterations):
+def bench_hf(corpus, thread_counts, iterations, pattern, ranks, name):
+    """HF fast-tokenizer arm (reference measured it at
+    /root/reference/tests/throughput_test.py:335-392). Offline environment:
+    the tokenizer is built locally from the same ranks+pattern
+    (tools/hf_local.py, bit-exact vs tiktoken) instead of a hub download.
+    Returns (results | None, skip_reason | None)."""
     try:
-        from transformers import AutoTokenizer
-    except Exception:  # noqa: BLE001
-        return None
-    try:
-        tok = AutoTokenizer.from_pretrained("gpt2", use_fast=True)
-    except Exception:  # noqa: BLE001
-        return None  # offline environment without cached model
+        from tools.hf_local import build_hf_fast_tokenizer
+
+        cache = (Path(__file__).resolve().parent.parent / "results"
+                 / f"hf_{name}_fast.json")
+        tok = build_hf_fast_tokenizer(ranks, pattern, cache_path=cache)
+    except Exception as e:  # noqa: BLE001 - package missing / build failed
+        return None, f"local HF build failed: {e}"[:160]
     results = []
     for nt in thread_counts:
+        # the Rust tokenizer parallelizes encode_batch internally; the
+        # thread axis here only shapes the chunking, as in the reference
         chunks = chunk_corpus(corpus, nt * iterations)
-        tok(chunks[:nt])
+        tok.encode_batch(chunks[:nt])
         t0 = time.perf_counter()
-        tok(chunks)
+        tok.encode_batch(chunks)
         dt = time.perf_counter() - t0
         mbps = len(corpus) / 1e6 / dt
         results.append(round(mbps, 2))
         print(f"  hf-fast  threads={nt:>2}: {mbps:8.2f} MB/s")
-    return results
+    return results, None
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--tokenizer", default="llama", choices=["llama"])
+    ap.add_argument("--tokenizer", default="llama",
+                    choices=["llama", "mistral"],
+                    help="mistral = Tekken-layout stand-in vocab "
+                         "(tools/tekken_standin.py; the real tekken.json "
+                         "is stripped from the reference mount)")
     ap.add_argument("--text-size", type=float, default=1024,
                     help="corpus size in MB (reference default: 1024)")
     ap.add_argument("--iterations", type=int, default=4)
@@ -191,11 +202,19 @@ def main() -> int:
 
     import tokendagger_tpu as td
 
-    ranks = td.load_tiktoken_model(REFERENCE / "src" / "tokenizer.model")
-    specials = td.load_hf_special_tokens(
-        REFERENCE / "src" / "tokenizer_config.json"
-    )
-    pattern = td.LLAMA4_PATTERN
+    if args.tokenizer == "mistral":
+        from tools.tekken_standin import load_standin
+
+        tek = load_standin()
+        ranks = tek["mergeable_ranks"]
+        specials = tek["special_tokens"]
+        pattern = tek["pattern"]
+    else:
+        ranks = td.load_tiktoken_model(REFERENCE / "src" / "tokenizer.model")
+        specials = td.load_hf_special_tokens(
+            REFERENCE / "src" / "tokenizer_config.json"
+        )
+        pattern = td.LLAMA4_PATTERN
 
     print(f"Generating {args.text_size} MB {args.corpus} corpus...")
     if args.corpus == "code":
@@ -211,10 +230,11 @@ def main() -> int:
         print("Benchmarking tiktoken:")
         tk = bench_tiktoken(corpus, thread_counts, args.iterations, pattern,
                             ranks, specials)
-    hf = None
+    hf, hf_skip = None, None
     if not args.skip_hf:
         print("Benchmarking HF fast tokenizer:")
-        hf = bench_hf(corpus, thread_counts, args.iterations)
+        hf, hf_skip = bench_hf(corpus, thread_counts, args.iterations,
+                               pattern, ranks, args.tokenizer)
 
     base = ours[0]
     print("Scaling efficiency vs 1 thread:")
@@ -234,13 +254,17 @@ def main() -> int:
     if hf:
         out["hf_throughput"] = hf
         out["hf_speedups"] = [round(a / b, 2) for a, b in zip(ours, hf)]
+    elif hf_skip:
+        out["hf_skipped_reason"] = hf_skip
 
     if args.output:
         path = Path(args.output)
     else:
         results = Path(__file__).resolve().parent.parent / "results"
         results.mkdir(exist_ok=True)
-        path = results / f"throughput_llama_{int(args.text_size)}mb.json"
+        path = results / (
+            f"throughput_{args.tokenizer}_{int(args.text_size)}mb.json"
+        )
     Path(path).write_text(json.dumps(out, indent=2))
     svg_path = Path(path).with_suffix(".svg")
     svg_path.write_text(render_svg(out))
