@@ -114,22 +114,40 @@ def device_resident_main(args) -> None:
     from tokendagger_tpu import vocab
     from tokendagger_tpu.resident import run_resident
 
-    model = REFERENCE / "src" / "tokenizer.model"
-    ranks = vocab.load_tiktoken_model(model)
-    config = REFERENCE / "src" / "tokenizer_config.json"
-    specials = vocab.load_hf_special_tokens(config) if config.exists() else {}
-    corpus = _corpus_cached(int(args.mb * 1024 * 1024)).encode()
+    profile = "llama4"
+    if args.tokenizer == "mistral":
+        from tools.tekken_standin import load_standin
+
+        tek = load_standin()
+        ranks = tek["mergeable_ranks"]
+        specials = tek["special_tokens"]
+        pattern = tek["pattern"]
+        profile = "nocontract"
+    else:
+        model = REFERENCE / "src" / "tokenizer.model"
+        ranks = vocab.load_tiktoken_model(model)
+        config = REFERENCE / "src" / "tokenizer_config.json"
+        specials = (vocab.load_hf_special_tokens(config)
+                    if config.exists() else {})
+        pattern = vocab.LLAMA4_PATTERN
+    if args.corpus == "emoji":
+        raw = (REFERENCE / "tests" / "input" / "emoji.txt").read_bytes()
+        need = int(args.mb * 1024 * 1024)
+        corpus = (raw * (need // len(raw) + 1))[:need]
+    else:
+        corpus = _corpus_cached(int(args.mb * 1024 * 1024)).encode()
     res = run_resident(
-        ranks, specials, vocab.LLAMA4_PATTERN, corpus,
+        ranks, specials, pattern, corpus,
         window=args.window, reps=args.runs + 2,
         batch=args.resident_batch,
         starts_impl=args.starts_impl,
         compact_impl=args.compact_impl,
         probe_impl=args.probe_impl,
         cap_bytes_per_piece=args.cap_bpp,
+        profile=profile,
     )
     print(json.dumps({
-        "metric": "tpu_kernel_throughput_llama4",
+        "metric": f"tpu_kernel_throughput_{args.tokenizer}_{args.corpus}",
         "value": res.kernel_mbps,
         "unit": "MB/s",
         "vs_baseline": round(res.kernel_mbps / BASELINE_MBPS, 3),
@@ -156,9 +174,12 @@ def main() -> None:
     ap.add_argument("--compact-impl", default="butterfly",
                     choices=["sort", "butterfly"],
                     help="tpu-resident piece compaction")
-    ap.add_argument("--probe-impl", default="transposed",
-                    choices=["transposed", "barrier"],
-                    help="tpu-resident vocab probe formulation")
+    ap.add_argument("--probe-impl", default="chunks",
+                    choices=["chunks", "chunked", "transposed", "barrier"],
+                    help="tpu-resident vocab probe formulation (chunks = "
+                         "static 16-span slicing, fastest measured; "
+                         "chunked = live-prefix while_loop, loses to its "
+                         "own per-iteration overhead on v5e)")
     ap.add_argument("--cap-bpp", type=float, default=3.0,
                     help="tpu-resident piece-slot sizing in bytes/piece "
                          "(3.0 = worst-case-safe; 4.0 fits English and "
@@ -166,6 +187,14 @@ def main() -> None:
                          "and invalidates the run, never the ids)")
     ap.add_argument("--threads", type=int,
                     default=min(32, os.cpu_count() or 8))
+    ap.add_argument("--corpus", default="english",
+                    choices=["english", "emoji"],
+                    help="tpu-resident corpus (emoji = the reference's "
+                         "non-ASCII conformance corpus, tiled)")
+    ap.add_argument("--tokenizer", default="llama",
+                    choices=["llama", "mistral"],
+                    help="tpu-resident vocab (mistral = Tekken stand-in, "
+                         "nocontract scanner profile)")
     args = ap.parse_args()
     if args.mb is None:
         # reference protocol default is 1 GB; 256 MB keeps a full best-mode

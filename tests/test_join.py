@@ -125,6 +125,92 @@ def test_probe8t_matches_probe8(llama_tables):
     assert (got_b == want[None]).all()
 
 
+def test_probe8t_chunks_matches_full(llama_tables):
+    """The static-chunked probe (the resident default) is pointwise
+    identical to vocab_probe8t, for chunk counts that do and don't divide
+    P, unbatched and vmapped."""
+    import jax
+
+    from tokendagger_tpu.ops.join import (
+        vocab_probe8t, vocab_probe8t_chunks,
+    )
+
+    ranks, t = llama_tables
+    pieces = _query_pieces(ranks)
+    rng = np.random.default_rng(17)
+    qk, qlens = _keys_for(pieces)
+    qk = np.concatenate(
+        [qk, rng.integers(0, 2**32, (500 - len(qk), 4), dtype=np.uint32)]
+    )
+    qlens = np.concatenate(
+        [qlens, rng.integers(0, 17, 500 - len(qlens)).astype(np.int32)]
+    )
+    rows = jnp.asarray(t.vhash8_rows)
+    args = (
+        jnp.asarray(qk[:, 0]), jnp.asarray(qk[:, 1]), jnp.asarray(qk[:, 2]),
+        jnp.asarray(qk[:, 3]), jnp.asarray(qlens),
+    )
+    full = np.asarray(vocab_probe8t(*args, rows, t.vhash8_mask))
+    for nch in (1, 3, 16, 499, 500):
+        got = np.asarray(vocab_probe8t_chunks(
+            *args, rows, t.vhash8_mask, n_chunks=nch))
+        assert (got == full).all(), nch
+    vp = jax.vmap(
+        lambda a, b, c, d, e: vocab_probe8t_chunks(
+            a, b, c, d, e, rows, t.vhash8_mask)
+    )
+    got_b = np.asarray(vp(*[x[None].repeat(2, 0) for x in args]))
+    assert (got_b == full[None]).all()
+
+
+def test_probe8t_chunked_matches_full(llama_tables):
+    """The live-prefix chunked probe equals the full transposed probe on
+    every live slot, for any n_live (0, partial chunks, full), unbatched
+    and under vmap with per-window live counts."""
+    import jax
+
+    from tokendagger_tpu.ops.join import (
+        vocab_probe8t, vocab_probe8t_chunked,
+    )
+
+    ranks, t = llama_tables
+    pieces = _query_pieces(ranks)
+    rng = np.random.default_rng(13)
+    qk, qlens = _keys_for(pieces)
+    qk = np.concatenate(
+        [qk, rng.integers(0, 2**32, (600 - len(qk), 4), dtype=np.uint32)]
+    )
+    qlens = np.concatenate(
+        [qlens, rng.integers(0, 17, 600 - len(qlens)).astype(np.int32)]
+    )
+    rows = jnp.asarray(t.vhash8_rows)
+    args = (
+        jnp.asarray(qk[:, 0]), jnp.asarray(qk[:, 1]), jnp.asarray(qk[:, 2]),
+        jnp.asarray(qk[:, 3]), jnp.asarray(qlens),
+    )
+    full = np.asarray(vocab_probe8t(*args, rows, t.vhash8_mask))
+    P = len(qlens)
+    for n_live in (0, 1, 63, 64, 100, P - 1, P):
+        got = np.asarray(vocab_probe8t_chunked(
+            *args, jnp.int32(n_live), rows, t.vhash8_mask, chunk=64,
+        ))
+        assert (got[:n_live] == full[:n_live]).all(), n_live
+        # beyond the probed prefix (chunk-quantized) everything is a miss
+        probed = min(P, -(-n_live // 64) * 64) if n_live else 0
+        assert (got[probed:] == -1).all(), n_live
+    vp = jax.vmap(
+        lambda a, b, c, d, e, n: vocab_probe8t_chunked(
+            a, b, c, d, e, n, rows, t.vhash8_mask, chunk=64,
+        )
+    )
+    n_lives = np.asarray([0, 70, 600], np.int32)
+    got_b = np.asarray(vp(
+        *[x[None].repeat(3, 0) for x in args], jnp.asarray(n_lives)
+    ))
+    for i, n_live in enumerate(n_lives):
+        assert (got_b[i, :n_live] == full[:n_live]).all(), n_live
+
+
 def test_sort_join_matches_dict(llama_tables):
     ranks, t = llama_tables
     pieces = _query_pieces(ranks)

@@ -34,3 +34,37 @@ def test_batched_matches_host(llama4_assets):
     assert res1.match_host
     # batch of 3 distinct windows tokenizes ~3x window 0's stream
     assert res.total_tokens != res1.total_tokens
+
+
+def test_batched_general_nonascii_matches_host(llama4_assets):
+    """The general (non-ASCII) batch path: butterfly UTF-8 decode ->
+    bit-plane starts (class gathers) -> inverse-butterfly char->byte
+    expansion -> butterfly compaction -> chunked probe. Bit-exact on the
+    reference emoji corpus (ZWJ sequences, flags, skin tones), with
+    host-routed char capacity."""
+    from tokendagger_tpu.resident import run_resident
+
+    pattern, ranks, specials = llama4_assets
+    emo = pathlib.Path("/root/reference/tests/input/emoji.txt")
+    if not emo.exists():
+        pytest.skip("emoji corpus unavailable")
+    corpus = emo.read_bytes()[: 1 << 17]
+    res = run_resident(ranks, specials, pattern, corpus,
+                       window=1 << 15, n_windows=2, reps=1, batch=2,
+                       starts_impl="bits-pallas", compact_impl="butterfly",
+                       probe_impl="chunks", overlap_trial=False)
+    assert res.impl == "general"
+    assert res.match_host
+    assert res.total_tokens > 0
+
+    # mixed ascii+emoji windows also route through the general path
+    lor = pathlib.Path("/root/reference/tests/input/lorem.txt")
+    if lor.exists():
+        corpus2 = lor.read_bytes()[: 1 << 15] + emo.read_bytes()[: 1 << 16]
+        res2 = run_resident(ranks, specials, pattern, corpus2,
+                            window=1 << 15, n_windows=2, reps=1, batch=2,
+                            starts_impl="bits-pallas",
+                            compact_impl="butterfly",
+                            probe_impl="chunks", overlap_trial=False)
+        assert res2.impl == "general"
+        assert res2.match_host

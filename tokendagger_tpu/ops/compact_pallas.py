@@ -365,6 +365,91 @@ def compact_by_mask(
     return [run(a) for a in arrays]
 
 
+def expand_by_mask(
+    arrays: list,            # list of (B, P) int32, values in live-prefix
+    mask: jnp.ndarray,       # (B, P) bool: destination positions
+    *,
+    interpret: bool = False,
+    fill: int = 0,
+):
+    """Inverse of :func:`compact_by_mask`: distribute a live-prefix back
+    to its masked positions — ``out[i] = arr[rank(i)]`` where ``mask[i]``
+    and ``rank(i) = #mask[<i]``; other slots get ``fill``.
+
+    Exact inverse of the forward butterfly, by replay: a displacement-only
+    forward pass records each round's take mask (bit b of one int32
+    ``tk`` array = "slot j took from j + 2^b at round b"), then the value
+    array replays those rounds INVERTED, MSB->LSB: ``y[j] = y[j - 2^b]``
+    wherever ``tk[j - 2^b]`` has bit b — undoing "j-k took from j" by
+    putting the value back at j. Correct for every live element because
+    the forward pass is (collision-freedom of monotone displacements):
+    an element either moved left (its destination's take bit is set) or
+    kept its slot (no one took it); garbage lands only on non-masked
+    slots, which the final select fills.
+
+    Used by the general (non-ASCII) resident pipeline to turn char-level
+    piece-start flags back into byte-level flags without the
+    scatter/sort lowerings that poison this runtime's dispatch
+    (docs/PERF.md)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, P = mask.shape
+    L = LANES
+    assert P % L == 0, P
+    rows = P // L
+    n = P
+    mask_i = mask.astype(jnp.int32).reshape(B, rows, L)
+    bits = []
+    b = 0
+    while (1 << b) < n:
+        bits.append(b)
+        b += 1
+
+    def run(val):
+        def kern(m_ref, v_ref, o_ref):
+            live = m_ref[0] != 0
+            live_i = live.astype(jnp.int32)
+            incl = _raster_incl_sum(live_i)
+            pos = incl - live_i
+            row = _iota2((rows, L), 0)
+            col = _iota2((rows, L), 1)
+            lidx = row * L + col
+            disp = jnp.where(live, lidx - pos, 0)
+            # forward displacement-only pass, recording take masks
+            tk = jnp.zeros((rows, L), jnp.int32)
+            d = disp
+            for bb in bits:
+                k = 1 << bb
+                sd = _roll_raster(d, n - k)     # sd[j] = d[j + k]
+                m = ((sd >> bb) & 1) == 1
+                tk = tk | (m.astype(jnp.int32) << bb)
+                d = jnp.where(m, sd, d)
+            # inverted replay on the values
+            y = v_ref[0]
+            for bb in reversed(bits):
+                k = 1 << bb
+                mk = ((_roll_raster(tk, k) >> bb) & 1) == 1
+                y = jnp.where(mk, _roll_raster(y, k), y)
+            o_ref[0] = jnp.where(live, y, jnp.int32(fill))
+
+        tile = pl.BlockSpec((1, rows, L), lambda b: (b, 0, 0))
+        return pl.pallas_call(
+            kern,
+            grid=(B,),
+            in_specs=[tile, tile],
+            out_specs=tile,
+            out_shape=jax.ShapeDtypeStruct((B, rows, L), jnp.int32),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(mask_i, val.reshape(B, rows, L)).reshape(B, P)
+
+    return [run(a) for a in arrays]
+
+
 @partial(
     jax.jit,
     static_argnames=("p_cap", "tile_rows", "interpret"),

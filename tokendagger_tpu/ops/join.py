@@ -268,24 +268,8 @@ def vocab_probe8(
     return jnp.max(jnp.where(hit, r[:, 40:48], -1), axis=1)
 
 
-@partial(jax.jit, static_argnames=("vhash8_mask",))
-def vocab_probe8t(
-    qk0: jnp.ndarray, qk1: jnp.ndarray, qk2: jnp.ndarray, qk3: jnp.ndarray,
-    qlen: jnp.ndarray,          # (P,) int32 piece byte lengths
-    vhash8_rows: jnp.ndarray,   # (nb8, 48) int32 (tables._build_vocab_hash8)
-    vhash8_mask: int,
-) -> jnp.ndarray:
-    """Transposed-compare whole-piece lookup: rank or -1 per query.
-
-    Identical table and result to :func:`vocab_probe8`, but the gathered
-    rows are materialized TRANSPOSED — (48, P) instead of (P, 48) — so
-    every subsequent compare/select is a full-lane op on minor dim P.
-    vocab_probe8's extra cost is not the gather or the materialization
-    (barrier + sum == raw gather, 5.75 vs 5.74 ms at 2.8M rows on v5e)
-    but its (P, 8)-shaped compare intermediates, which run at 8/128 lane
-    utilization. Measured (tools/probe_gather.py, 2.8M pieces):
-    probe8 15.94 ms -> probe8t 7.57 ms, vs the 5.69 ms issue-bound
-    gather floor (491 Mrows/s regardless of row width)."""
+def _probe8t_core(qk0, qk1, qk2, qk3, qlen, vhash8_rows, vhash8_mask: int):
+    """Shared transposed-probe body (see vocab_probe8t)."""
     from .merge import _mix
 
     i0 = qk0.astype(jnp.int32)
@@ -312,6 +296,107 @@ def vocab_probe8t(
             out, jnp.where(hit, rT[..., 40 + s, :], -1)
         )
     return out
+
+
+@partial(jax.jit, static_argnames=("vhash8_mask",))
+def vocab_probe8t(
+    qk0: jnp.ndarray, qk1: jnp.ndarray, qk2: jnp.ndarray, qk3: jnp.ndarray,
+    qlen: jnp.ndarray,          # (P,) int32 piece byte lengths
+    vhash8_rows: jnp.ndarray,   # (nb8, 48) int32 (tables._build_vocab_hash8)
+    vhash8_mask: int,
+) -> jnp.ndarray:
+    """Transposed-compare whole-piece lookup: rank or -1 per query.
+
+    Identical table and result to :func:`vocab_probe8`, but the gathered
+    rows are materialized TRANSPOSED — (48, P) instead of (P, 48) — so
+    every subsequent compare/select is a full-lane op on minor dim P.
+    vocab_probe8's extra cost is not the gather or the materialization
+    (barrier + sum == raw gather, 5.75 vs 5.74 ms at 2.8M rows on v5e)
+    but its (P, 8)-shaped compare intermediates, which run at 8/128 lane
+    utilization. Measured (tools/probe_gather.py, 2.8M pieces):
+    probe8 15.94 ms -> probe8t 7.57 ms, vs the 5.69 ms issue-bound
+    gather floor (491 Mrows/s regardless of row width)."""
+    return _probe8t_core(qk0, qk1, qk2, qk3, qlen, vhash8_rows, vhash8_mask)
+
+
+@partial(jax.jit, static_argnames=("vhash8_mask", "n_chunks"))
+def vocab_probe8t_chunks(
+    qk0: jnp.ndarray, qk1: jnp.ndarray, qk2: jnp.ndarray, qk3: jnp.ndarray,
+    qlen: jnp.ndarray,          # (..., P) int32 piece byte lengths
+    vhash8_rows: jnp.ndarray,   # (nb8, 48) int32
+    vhash8_mask: int,
+    n_chunks: int = 16,
+) -> jnp.ndarray:
+    """Statically chunked transposed probe: identical result to
+    :func:`vocab_probe8t`, ~31% faster at pipeline scale.
+
+    The monolithic probe materializes the transposed gather as ONE
+    (48, P) array (537 MB at 8 windows x cap-3.0) whose write + 40
+    slice-compare reads are HBM-bound on top of the issue-bound gather.
+    Slicing the query into ``n_chunks`` static spans (no control flow —
+    lax.cond/while bodies cost ~1.5 ms each on v5e, measured in
+    tools/probe_chunked.py) keeps each materialization small enough to
+    overlap with the neighbouring chunks' gathers. Chip sweep
+    (results/probe_chunks_sweep.log, 2.8M rows): monolithic 8.92 ms,
+    4 chunks 10.01, 8 -> 7.64, **16 -> 6.17**, 32 -> 6.38, 64 -> 6.28,
+    vs the 5.65 ms raw-gather issue floor (491 Mrows/s at any table
+    size/row width — tools/probe_gather_size.py)."""
+    P = qk0.shape[-1]
+    ch = -(-P // n_chunks)
+    outs = []
+    for i in range(n_chunks):
+        lo = i * ch
+        hi = min(P, lo + ch)
+        if lo >= hi:
+            break
+        sl = (Ellipsis, slice(lo, hi))
+        outs.append(_probe8t_core(
+            qk0[sl], qk1[sl], qk2[sl], qk3[sl], qlen[sl],
+            vhash8_rows, vhash8_mask))
+    return jnp.concatenate(outs, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("vhash8_mask", "chunk"))
+def vocab_probe8t_chunked(
+    qk0: jnp.ndarray, qk1: jnp.ndarray, qk2: jnp.ndarray, qk3: jnp.ndarray,
+    qlen: jnp.ndarray,          # (P,) int32 piece byte lengths
+    n_live: jnp.ndarray,        # scalar int32: live pieces (prefix of P)
+    vhash8_rows: jnp.ndarray,   # (nb8, 48) int32
+    vhash8_mask: int,
+    chunk: int = 1 << 15,
+) -> jnp.ndarray:
+    """Live-prefix probe: gather cost scales with the ACTUAL piece count,
+    not the padded capacity.
+
+    The compacted piece arrays are live-prefix by construction (slots >=
+    n_live are pads), yet :func:`vocab_probe8t` issues one row gather per
+    CAPACITY slot — the probe is issue-bound (491 Mrows/s on v5e), so a
+    worst-case-safe capacity (3.0 B/piece) paid ~40% more probe time than
+    the corpus needed (English sits at ~4.3 B/piece). Here the probe runs
+    as a fori_loop (-> while_loop, dynamic trip count) over chunk-sized
+    prefix windows, stopping after ceil(n_live/chunk); pad slots beyond
+    the probed prefix keep rank -1, which downstream masks by liveness.
+    Under vmap the loop runs to the max chunk count in the batch.
+    while_loop + plain 1-D row gathers are both in this runtime's
+    safe-dispatch set (docs/PERF.md "dispatch cliff")."""
+    P = qk0.shape[0]
+    chunk = min(chunk, P)
+
+    def body(i, acc):
+        # clamp the final chunk to the array end: the overlap re-probes a
+        # few already-probed slots with identical results
+        s = jnp.minimum(i * chunk, P - chunk)
+
+        def sl(x):
+            return jax.lax.dynamic_slice_in_dim(x, s, chunk)
+
+        r = _probe8t_core(sl(qk0), sl(qk1), sl(qk2), sl(qk3), sl(qlen),
+                          vhash8_rows, vhash8_mask)
+        return jax.lax.dynamic_update_slice_in_dim(acc, r, s, 0)
+
+    n_iters = (jnp.maximum(n_live, 0) + chunk - 1) // chunk
+    out0 = jnp.full((P,), -1, jnp.int32)
+    return jax.lax.fori_loop(0, n_iters, body, out0)
 
 
 def vocab_probe8_np(qk, qlen, vhash8_rows, vhash8_mask):

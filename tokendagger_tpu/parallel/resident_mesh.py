@@ -52,7 +52,7 @@ def mesh_resident_pipeline(
     from ..ops.compact_pallas import (
         compact_piece_keys_butterfly, finalize_butterfly,
     )
-    from ..ops.join import vocab_probe8t
+    from ..ops.join import vocab_probe8t_chunks
 
     vhash_rows = jnp.asarray(tables.vhash8_rows)
     vhash_mask = tables.vhash8_mask
@@ -69,8 +69,8 @@ def mesh_resident_pipeline(
             starts, devs, nbs, p_cap, interpret=interpret,
         )
         rank = jax.vmap(
-            lambda a, b, c, d, e: vocab_probe8t(a, b, c, d, e,
-                                                vhash_rows, vhash_mask)
+            lambda a, b, c, d, e: vocab_probe8t_chunks(
+                a, b, c, d, e, vhash_rows, vhash_mask)
         )(k0, k1, k2, k3, pl_)
         out = finalize_butterfly(
             sb, pl_, rank, npc, trim, p_cap=p_cap, interpret=interpret,

@@ -42,8 +42,9 @@ class ResidentResult:
     impl: str = "scatter"       # compaction strategy (ascii-sort/sort/scatter)
     starts_impl: str = "jnp"    # piece-start formulation (jnp/sweep/bits*)
     compact_impl: str = "sort"  # piece compaction (sort/butterfly)
-    probe_impl: str = "transposed"  # vocab probe (transposed/barrier)
+    probe_impl: str = "transposed"  # vocab probe (chunked/transposed/barrier)
     cap_bpp: float = 3.0        # piece-slot sizing (bytes/piece)
+    overlap: dict | None = None  # H2D/compute overlap probe (streaming)
 
     def to_dict(self):
         return asdict(self)
@@ -96,6 +97,8 @@ def run_resident(
     compact_impl: str = "sort",
     probe_impl: str = "transposed",
     cap_bytes_per_piece: float = 3.0,
+    overlap_trial: bool = True,
+    profile: str = "llama4",
 ) -> ResidentResult:
     import jax
     import jax.numpy as jnp
@@ -107,7 +110,7 @@ def run_resident(
     )
     from .ops.join import (
         compact_piece_keys, compact_piece_keys_sorted, vocab_probe8,
-        vocab_probe8t,
+        vocab_probe8t, vocab_probe8t_chunked, vocab_probe8t_chunks,
     )
     from .tables import build_tables
     from .unicode_tables import get_two_level_tables
@@ -124,15 +127,34 @@ def run_resident(
     vhash_rows = jnp.asarray(tables.vhash8_rows)
     if miss_mode != "host":
         probe_impl = "barrier"  # resolve_window hardcodes vocab_probe8
+    # "chunked": transposed probe over the LIVE prefix only (while_loop
+    # over chunks — gather cost scales with actual pieces, not capacity);
     # "transposed": gathered rows materialized as (48, P) so compares run
     # full-lane (2.1x the barrier form, measured — ops/join.vocab_probe8t);
     # "barrier": (P, 48) materialization + slice compares
-    if probe_impl == "transposed":
-        def probe_fn(k0, k1, k2, k3, pl):
+    if probe_impl == "chunks":
+        # static span slicing, no control flow: ~31% over monolithic.
+        # The sweet spot is shape-dependent (chip sweeps, 8 windows:
+        # p_cap 349568 -> 16 chunks 6.17 ms; p_cap 262144 -> 32 chunks
+        # 4.93 ms, 16 chunks 6.40; results/probe_chunks_sweep*.log)
+        p_cap_probe = caps_for(window,
+                               bytes_per_piece=cap_bytes_per_piece)["p_cap"]
+        n_chunks = 16 if p_cap_probe > 300_000 else 32
+
+        def probe_fn(k0, k1, k2, k3, pl, npc):
+            return vocab_probe8t_chunks(k0, k1, k2, k3, pl,
+                                        vhash_rows, tables.vhash8_mask,
+                                        n_chunks=n_chunks)
+    elif probe_impl == "chunked":
+        def probe_fn(k0, k1, k2, k3, pl, npc):
+            return vocab_probe8t_chunked(k0, k1, k2, k3, pl, npc,
+                                         vhash_rows, tables.vhash8_mask)
+    elif probe_impl == "transposed":
+        def probe_fn(k0, k1, k2, k3, pl, npc):
             return vocab_probe8t(k0, k1, k2, k3, pl, vhash_rows,
                                  tables.vhash8_mask)
     else:
-        def probe_fn(k0, k1, k2, k3, pl):
+        def probe_fn(k0, k1, k2, k3, pl, npc):
             return vocab_probe8(k0, k1, k2, k3, pl, vhash_rows,
                                 tables.vhash8_mask)
 
@@ -143,17 +165,48 @@ def run_resident(
 
     wins = []
     all_ascii = True
+    max_chars = 0
     for w in range(n_windows):
         lo = (w * N) % max(1, len(corpus) - N)
         chunk = corpus[lo : lo + N]
+        arr = np.frombuffer(chunk, dtype=np.uint8)
+        # char-align the window (each window is encoded as an independent
+        # text by both the kernel and the oracle): skip leading
+        # continuation bytes, trim an incomplete trailing sequence
+        k = 0
+        while k < len(arr) and (arr[k] & 0xC0) == 0x80:
+            k += 1
+        arr = arr[k:]
+        e = len(arr)
+        if e and (arr[e - 1] & 0x80):
+            j = e - 1
+            while j > max(0, e - 4) and (arr[j] & 0xC0) == 0x80:
+                j -= 1
+            if (arr[j] & 0xC0) == 0xC0:
+                need = 2 if arr[j] < 0xE0 else (3 if arr[j] < 0xF0 else 4)
+                if e - j < need:
+                    e = j
+        arr = arr[:e]
         buf = np.zeros(N, dtype=np.uint8)
-        buf[: len(chunk)] = np.frombuffer(chunk, dtype=np.uint8)
+        buf[: len(arr)] = arr
         all_ascii = all_ascii and not (buf & 0x80).any()
-        wins.append((jnp.asarray(buf), jnp.int32(len(chunk))))
+        max_chars = max(max_chars, int(((arr & 0xC0) != 0x80).sum()))
+        wins.append((jnp.asarray(buf), jnp.int32(len(arr))))
     if impl == "auto":
-        # sorted compaction everywhere (measured ~5x over the scatter
-        # lowering on v5e); char==byte shortcut when every window is ASCII
-        impl = "ascii-sort" if (all_ascii and miss_mode == "host") else "sort"
+        # char==byte shortcut when every window is ASCII; otherwise the
+        # butterfly general path in batch mode (sorts/scatters are
+        # dispatch-poison on this runtime — docs/PERF.md), sorted
+        # compaction in single-window mode
+        if all_ascii and miss_mode == "host":
+            impl = "ascii-sort"
+        elif batch > 1 and miss_mode == "host":
+            impl = "general"
+        else:
+            impl = "sort"
+    if impl == "general":
+        # the general path is built from bits starts + butterfly stages
+        starts_impl = "bits-pallas"
+        compact_impl = "butterfly"
     trim = jnp.int32(N)
     jax.block_until_ready(
         [a for w in wins for a in w]
@@ -187,13 +240,13 @@ def run_resident(
     def pipeline(dev, nb):
         cp, cob, boc, m = dec_stage(dev, nb)
         starts = PT.compute_starts(
-            cp, m, page_ids, pages, contractions=True, profile="llama4"
+            cp, m, page_ids, pages, contractions=profile != "nocontract", profile=profile
         )
         if miss_mode == "host":
             sb, pl, k0, k1, k2, k3, npc = compact_stage(
                 starts, cob, boc, dev, nb
             )
-            rank = probe_fn(k0, k1, k2, k3, pl)
+            rank = probe_fn(k0, k1, k2, k3, pl, npc)
             return fin_stage(sb, pl, rank, npc)
         return resolve_window(
             starts, boc, dev, nb, trim, byte_rank, pair_rows, pair_lut,
@@ -215,11 +268,11 @@ def run_resident(
 
         def starts_stage(cp, m):
             return PT.piece_starts_jax(
-                cp, m, page_ids, pages, contractions=True, profile="llama4"
+                cp, m, page_ids, pages, contractions=profile != "nocontract", profile=profile
             )
 
-        def probe_stage(k0, k1, k2, k3, pl):
-            return probe_fn(k0, k1, k2, k3, pl)
+        def probe_stage(k0, k1, k2, k3, pl, npc):
+            return probe_fn(k0, k1, k2, k3, pl, npc)
 
         v_dec = jax.jit(jax.vmap(dec_stage))
         if starts_impl in ("bits", "bits-pallas"):
@@ -237,25 +290,59 @@ def run_resident(
 
                 def starts_bits_pallas_stage(cp, m):
                     return piece_starts_bits_pallas(
-                        cp, m, page_ids, pages, contractions=True,
-                        profile="llama4", ascii_fast=af,
+                        cp, m, page_ids, pages, contractions=profile != "nocontract",
+                        profile=profile, ascii_fast=af,
                         interpret=interp_s,
                     )
 
                 v_starts = jax.jit(starts_bits_pallas_stage)
+                if impl == "general":
+                    # char-capacity routing: chars were counted on the
+                    # host at staging, so multi-byte-heavy windows run a
+                    # program whose char-indexed stages (class gather,
+                    # bit planes) cover N/4 or N/2 slots instead of N
+                    c_cap = N
+                    for cand in (N // 4, N // 2):
+                        if max_chars <= cand:
+                            c_cap = cand
+                            break
+
+                    from .ops.compact_pallas import expand_by_mask
+
+                    def dec_general_stage(devs, nbs):
+                        return PT.utf8_decode_butterfly(
+                            devs, nbs, c_cap=c_cap, interpret=interp_s,
+                        )
+
+                    def expand_stage(starts_char, lead):
+                        b_ = starts_char.shape[0]
+                        sc = jnp.concatenate(
+                            [starts_char.astype(jnp.int32),
+                             jnp.zeros((b_, N - c_cap), jnp.int32)],
+                            axis=1,
+                        )
+                        (st_b,) = expand_by_mask(
+                            [sc], lead, interpret=interp_s,
+                        )
+                        return st_b != 0
+
+                    v_dec_g = jax.jit(dec_general_stage)
+                    v_expand = jax.jit(expand_stage)
             else:
                 def starts_bits_stage(c, mm):
                     return piece_starts_bits(
-                        c, mm, page_ids, pages, contractions=True,
-                        profile="llama4", ascii_fast=af,
+                        c, mm, page_ids, pages, contractions=profile != "nocontract",
+                        profile=profile, ascii_fast=af,
                     )
 
                 v_starts = jax.jit(jax.vmap(starts_bits_stage))
         else:
             v_starts = jax.jit(jax.vmap(starts_stage))
-        if compact_impl == "butterfly" and impl != "ascii-sort":
-            # the butterfly path takes byte-level start flags (char == byte,
-            # i.e. all-ASCII windows); degrade to the sort otherwise
+        if compact_impl == "butterfly" and impl not in ("ascii-sort",
+                                                        "general"):
+            # the butterfly path takes byte-level start flags (char == byte
+            # for ASCII; the general path expands char flags to byte flags
+            # with the inverse butterfly); degrade to the sort otherwise
             compact_impl = "sort"
         if compact_impl == "butterfly":
             # Pallas displacement-butterfly compaction (ops/compact_pallas):
@@ -272,7 +359,15 @@ def run_resident(
             v_compact = jax.jit(compact_butterfly_stage)
         else:
             v_compact = jax.jit(jax.vmap(compact_stage))
-        v_probe = jax.jit(jax.vmap(probe_stage))
+        if probe_impl == "chunks":
+            # the chunks probe is elementwise per slot: run it UN-vmapped
+            # on the (B, P) batch directly — the vmap-wrapped form lowers
+            # the row gather as a batched gather that costs ~25% more
+            # in-pipeline than the direct 2-D form timed in
+            # tools/probe_chunked.py
+            v_probe = jax.jit(probe_stage)
+        else:
+            v_probe = jax.jit(jax.vmap(probe_stage))
         if compact_impl == "butterfly":
             # miss-span compaction via the mask butterfly (no sort)
             from .ops.compact_pallas import finalize_butterfly
@@ -289,22 +384,37 @@ def run_resident(
         else:
             v_fin = jax.jit(jax.vmap(fin_stage))
 
-        stk_dev = jnp.stack(
-            [wins[i % n_windows][0] for i in range(batch)]
-        )
-        stk_nb = jnp.stack(
-            [wins[i % n_windows][1] for i in range(batch)]
-        )
+        # device_put (NOT jnp.stack): the timed/overlap paths feed
+        # device_put arrays, and a device-computed stack can carry a
+        # different layout — the first overlap-call then pays a full
+        # ~76 s re-jit of all five stages (observed on the live rig)
+        stk_dev = jax.device_put(np.stack(
+            [np.asarray(wins[i % n_windows][0]) for i in range(batch)]
+        ))
+        stk_nb = jax.device_put(np.asarray(
+            [int(wins[i % n_windows][1]) for i in range(batch)], np.int32
+        ))
         jax.block_until_ready((stk_dev, stk_nb))
 
-        def pipeline_b(devs, nbs):
-            cp, cob, boc, m = v_dec(devs, nbs)
-            starts = v_starts(cp, m)
-            sb, pl, k0, k1, k2, k3, npc = v_compact(
-                starts, cob, boc, devs, nbs
-            )
-            rank = v_probe(k0, k1, k2, k3, pl)
-            return v_fin(sb, pl, rank, npc)
+        if impl == "general":
+            def pipeline_b(devs, nbs):
+                cp, lead, m = v_dec_g(devs, nbs)
+                starts_c = v_starts(cp, m)
+                st_b = v_expand(starts_c, lead)
+                sb, pl, k0, k1, k2, k3, npc = v_compact(
+                    st_b, None, None, devs, nbs
+                )
+                rank = v_probe(k0, k1, k2, k3, pl, npc)
+                return v_fin(sb, pl, rank, npc)
+        else:
+            def pipeline_b(devs, nbs):
+                cp, cob, boc, m = v_dec(devs, nbs)
+                starts = v_starts(cp, m)
+                sb, pl, k0, k1, k2, k3, npc = v_compact(
+                    starts, cob, boc, devs, nbs
+                )
+                rank = v_probe(k0, k1, k2, k3, pl, npc)
+                return v_fin(sb, pl, rank, npc)
 
     # calibration: trivial dispatch latency (pre-cliff; block, no D2H)
     xcal = jnp.arange(1024, dtype=jnp.int32)
@@ -321,6 +431,66 @@ def run_resident(
     else:
         out = pipeline(*wins[0])
     jax.block_until_ready(out)
+
+    # ---- H2D/compute overlap probe (VERDICT r2 item 2) -------------------
+    # Three wall protocols over FRESH host batches: pure staging, serial
+    # stage->compute, and double-buffered streaming (device_put of batch
+    # k+1 issued before blocking on batch k's dispatches). Streaming wall
+    # == max(transfer, compute) when the runtime overlaps; the delta vs
+    # serial quantifies the hidden phase. Runs BEFORE the trace loop's
+    # drain read (the first device->host read permanently degrades this
+    # proxied runtime's dispatch cost — docs/PERF.md "dispatch cliff").
+    overlap_stats = None
+    if batch > 1 and overlap_trial:
+        n_stream = 4
+        dev0 = jax.devices()[0]
+        bats = []
+        for k in range(n_stream):
+            idx = [(k + i) % n_windows for i in range(batch)]
+            d = np.stack([np.asarray(wins[j][0]) for j in idx])
+            nbv = np.asarray([int(wins[j][1]) for j in idx], np.int32)
+            bats.append((d, nbv))
+        t0 = time.perf_counter()
+        staged = [
+            (jax.device_put(d, dev0), jax.device_put(nb, dev0))
+            for d, nb in bats
+        ]
+        jax.block_until_ready(staged)
+        t_transfer = time.perf_counter() - t0
+        del staged
+        # stream BEFORE serial: the serial protocol's per-phase blocking
+        # can flip this proxied runtime into its degraded dispatch mode
+        # (docs/PERF.md), which would poison every later wall number
+        t0 = time.perf_counter()
+        cur = (jax.device_put(bats[0][0], dev0),
+               jax.device_put(bats[0][1], dev0))
+        outs = []
+        for k in range(n_stream):
+            nxt = None
+            if k + 1 < n_stream:
+                nxt = (jax.device_put(bats[k + 1][0], dev0),
+                       jax.device_put(bats[k + 1][1], dev0))
+            outs.append(pipeline_b(*cur))
+            cur = nxt
+        jax.block_until_ready(outs)
+        t_stream = time.perf_counter() - t0
+        del outs
+        t0 = time.perf_counter()
+        for d, nb in bats:
+            dd = jax.device_put(d, dev0)
+            nn = jax.device_put(nb, dev0)
+            jax.block_until_ready((dd, nn))
+            jax.block_until_ready(pipeline_b(dd, nn))
+        t_serial = time.perf_counter() - t0
+        tot_mb = n_stream * batch * N / 1e6
+        overlap_stats = {
+            "n_batches": n_stream,
+            "h2d_mbps": round(tot_mb / t_transfer, 2),
+            "wall_serial_mbps": round(tot_mb / t_serial, 2),
+            "wall_stream_mbps": round(tot_mb / t_stream, 2),
+            "overlap_saved_ms": round((t_serial - t_stream) * 1e3, 1),
+            "overlapped": bool(t_stream < 0.97 * t_serial),
+        }
 
     # ---- on-device timing via the profiler trace -------------------------
     # The remote runtime dispatches speculatively (block_until_ready can
@@ -413,4 +583,5 @@ def run_resident(
         compact_impl=compact_impl if batch > 1 else "sort",
         probe_impl=probe_impl,
         cap_bpp=cap_bytes_per_piece,
+        overlap=overlap_stats,
     )
