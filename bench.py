@@ -325,6 +325,28 @@ def main() -> None:
                 detail["tpu_kernel"] = best_res["detail"]
         except Exception as e:  # noqa: BLE001
             detail["tpu_resident_error"] = str(e)[:120]
+        # non-ASCII arm: the reference emoji conformance corpus through
+        # the general resident path (VERDICT r2 item 3), bit-exact
+        try:
+            r = probe([sys.executable, __file__, "--backend",
+                       "tpu-resident", "--corpus", "emoji"], 1200)
+            if r and r["detail"].get("match_host"):
+                detail["tpu_kernel_mbps_nonascii"] = r["value"]
+                detail["tpu_kernel_nonascii"] = {
+                    k: r["detail"][k] for k in
+                    ("device_ms", "impl", "stage_us", "total_tokens",
+                     "cap_bpp") if k in r["detail"]
+                }
+        except Exception as e:  # noqa: BLE001
+            detail["tpu_nonascii_error"] = str(e)[:120]
+        # second-vocab arm: Tekken stand-in config, nocontract profile
+        try:
+            r = probe([sys.executable, __file__, "--backend",
+                       "tpu-resident", "--tokenizer", "mistral"], 1200)
+            if r and r["detail"].get("match_host"):
+                detail["tpu_kernel_mbps_tekken"] = r["value"]
+        except Exception as e:  # noqa: BLE001
+            detail["tpu_tekken_error"] = str(e)[:120]
         best = max(host_mbps, tpu_mbps)
         detail["winner"] = "tpu" if tpu_mbps > host_mbps else "host"
     else:

@@ -71,15 +71,30 @@ def main() -> int:
         }
         print(f"{name}: match={match} warm={t_dev_warm:.3f}s", flush=True)
 
-    # device-resident kernel timing (excludes tunnel; per-stage)
+    # device-resident kernel timing (excludes tunnel; per-stage) — the
+    # flagship config bench.py runs (8-window batch, bits-pallas starts,
+    # butterfly compaction, statically chunked probe)
     from tokendagger_tpu.resident import run_resident
 
     res = run_resident(ranks, specials, vocab.LLAMA4_PATTERN,
-                       make_corpus(1 << 21).encode(), window=1 << 20,
-                       reps=3, trials=2, batch=2,
-                       starts_impl="bits-pallas", compact_impl="butterfly")
+                       make_corpus(1 << 23).encode(), window=1 << 20,
+                       reps=5, batch=8, cap_bytes_per_piece=4.0,
+                       starts_impl="bits-pallas", compact_impl="butterfly",
+                       probe_impl="chunks", overlap_trial=False)
     report["resident"] = res.to_dict()
     ok &= res.match_host
+
+    # the general (non-ASCII) resident path on the emoji corpus
+    raw = (REFERENCE / "tests/input/emoji.txt").read_bytes()
+    emoji_corpus = (raw * ((4 << 20) // len(raw) + 1))[: 4 << 20]
+    res_na = run_resident(ranks, specials, vocab.LLAMA4_PATTERN,
+                          emoji_corpus, window=1 << 20,
+                          reps=5, batch=4, cap_bytes_per_piece=3.0,
+                          starts_impl="bits-pallas",
+                          compact_impl="butterfly",
+                          probe_impl="chunks", overlap_trial=False)
+    report["resident_nonascii"] = res_na.to_dict()
+    ok &= res_na.match_host
 
     out = REPO / "results" / "tpu_validation.json"
     out.parent.mkdir(exist_ok=True)

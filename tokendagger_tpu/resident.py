@@ -432,14 +432,43 @@ def run_resident(
         out = pipeline(*wins[0])
     jax.block_until_ready(out)
 
+    # ---- on-device timing via the profiler trace -------------------------
+    # The remote runtime dispatches speculatively (block_until_ready can
+    # return before real completion) and any device->host read permanently
+    # degrades the session, so wall-clock loops are either fiction or
+    # tunnel-bound. The device trace records REAL per-program execution
+    # times on the chip itself; trace collection cost is one-time.
+    import tempfile
+
+    trace_dir = tempfile.mkdtemp(prefix="td_resident_trace_")
+    t0 = time.perf_counter()
+    last = None
+    with jax.profiler.trace(trace_dir):
+        for r in range(reps):
+            if batch > 1:
+                last = pipeline_b(stk_dev, stk_nb)
+            else:
+                last = pipeline(*wins[r % n_windows])
+        # drain: forces real completion (sole D2H read of the timed run)
+        total_tokens = int(np.asarray(last[1]).sum())
+    wall_ms = (time.perf_counter() - t0) / reps * 1e3
+    stage_tot = _device_times_from_trace(trace_dir)
+    stage_us = {k: round(v / reps, 2) for k, v in sorted(stage_tot.items())}
+    device_ms = sum(stage_tot.values()) / reps / 1e3
+
     # ---- H2D/compute overlap probe (VERDICT r2 item 2) -------------------
     # Three wall protocols over FRESH host batches: pure staging, serial
     # stage->compute, and double-buffered streaming (device_put of batch
     # k+1 issued before blocking on batch k's dispatches). Streaming wall
     # == max(transfer, compute) when the runtime overlaps; the delta vs
-    # serial quantifies the hidden phase. Runs BEFORE the trace loop's
-    # drain read (the first device->host read permanently degrades this
-    # proxied runtime's dispatch cost — docs/PERF.md "dispatch cliff").
+    # serial quantifies the hidden phase. Runs AFTER the trace loop's
+    # drain read: the drain forces real completion of all prior work, so
+    # these walls are not polluted by the warmup's ASYNC compile (which
+    # otherwise lands on whichever protocol blocks for real first —
+    # observed as a spurious ~90 s hit). Post-drain dispatches run in
+    # the degraded ~30 ms/dispatch mode on this rig (docs/PERF.md),
+    # which inflates all three walls equally; the transfer rate and the
+    # stream-vs-serial delta remain meaningful.
     overlap_stats = None
     if batch > 1 and overlap_trial:
         n_stream = 4
@@ -492,29 +521,6 @@ def run_resident(
             "overlapped": bool(t_stream < 0.97 * t_serial),
         }
 
-    # ---- on-device timing via the profiler trace -------------------------
-    # The remote runtime dispatches speculatively (block_until_ready can
-    # return before real completion) and any device->host read permanently
-    # degrades the session, so wall-clock loops are either fiction or
-    # tunnel-bound. The device trace records REAL per-program execution
-    # times on the chip itself; trace collection cost is one-time.
-    import tempfile
-
-    trace_dir = tempfile.mkdtemp(prefix="td_resident_trace_")
-    t0 = time.perf_counter()
-    last = None
-    with jax.profiler.trace(trace_dir):
-        for r in range(reps):
-            if batch > 1:
-                last = pipeline_b(stk_dev, stk_nb)
-            else:
-                last = pipeline(*wins[r % n_windows])
-        # drain: forces real completion (sole D2H read of the timed run)
-        total_tokens = int(np.asarray(last[1]).sum())
-    wall_ms = (time.perf_counter() - t0) / reps * 1e3
-    stage_tot = _device_times_from_trace(trace_dir)
-    stage_us = {k: round(v / reps, 2) for k, v in sorted(stage_tot.items())}
-    device_ms = sum(stage_tot.values()) / reps / 1e3
 
     match = True
     if verify:
