@@ -84,12 +84,15 @@ def main() -> int:
     report["resident"] = res.to_dict()
     ok &= res.match_host
 
-    # the general (non-ASCII) resident path on the emoji corpus
+    # the general (non-ASCII) resident path on the emoji corpus — same
+    # shapes as bench.py's --corpus emoji arm (batch 8, 1 MB windows) so
+    # the XLA persistent cache is shared; the general path's Pallas
+    # programs are the longest compiles on this tunnel
     raw = (REFERENCE / "tests/input/emoji.txt").read_bytes()
-    emoji_corpus = (raw * ((4 << 20) // len(raw) + 1))[: 4 << 20]
+    emoji_corpus = (raw * ((8 << 20) // len(raw) + 1))[: 8 << 20]
     res_na = run_resident(ranks, specials, vocab.LLAMA4_PATTERN,
                           emoji_corpus, window=1 << 20,
-                          reps=5, batch=4, cap_bytes_per_piece=3.0,
+                          reps=5, batch=8, cap_bytes_per_piece=3.0,
                           starts_impl="bits-pallas",
                           compact_impl="butterfly",
                           probe_impl="chunks", overlap_trial=False)
