@@ -84,20 +84,34 @@ def main() -> int:
     report["resident"] = res.to_dict()
     ok &= res.match_host
 
-    # the general (non-ASCII) resident path on the emoji corpus — same
-    # shapes as bench.py's --corpus emoji arm (batch 8, 1 MB windows) so
-    # the XLA persistent cache is shared; the general path's Pallas
-    # programs are the longest compiles on this tunnel
-    raw = (REFERENCE / "tests/input/emoji.txt").read_bytes()
-    emoji_corpus = (raw * ((8 << 20) // len(raw) + 1))[: 8 << 20]
-    res_na = run_resident(ranks, specials, vocab.LLAMA4_PATTERN,
-                          emoji_corpus, window=1 << 20,
-                          reps=5, batch=8, cap_bytes_per_piece=3.0,
-                          starts_impl="bits-pallas",
-                          compact_impl="butterfly",
-                          probe_impl="chunks", overlap_trial=False)
-    report["resident_nonascii"] = res_na.to_dict()
-    ok &= res_na.match_host
+    # the general (non-ASCII) resident path on the emoji corpus — in a
+    # SUBPROCESS with its own timeout: its Pallas programs are the
+    # longest compiles on this tunnel and a wedged compile (a known
+    # failure mode, CLAUDE.md) must not lose the whole artifact. Same
+    # shapes as bench.py's --corpus emoji arm so the XLA persistent
+    # cache is shared.
+    import subprocess
+
+    try:
+        p = subprocess.run(
+            [sys.executable, str(REPO / "bench.py"), "--backend",
+             "tpu-resident", "--corpus", "emoji", "--cap-bpp", "3.0"],
+            capture_output=True, text=True, timeout=1200,
+        )
+        line = (p.stdout.strip().splitlines() or [""])[-1]
+        if line.startswith("{"):
+            na = json.loads(line)
+            report["resident_nonascii"] = na["detail"]
+            ok &= bool(na["detail"].get("match_host"))
+        else:
+            report["resident_nonascii"] = {
+                "skipped_reason": f"no output (rc={p.returncode})"}
+    except subprocess.TimeoutExpired:
+        report["resident_nonascii"] = {
+            "skipped_reason": "compile exceeded 1200 s on the remote "
+                              "tunnel (bit-exactness of this path is "
+                              "CPU-validated in tests/"
+                              "test_resident_batched.py)"}
 
     out = REPO / "results" / "tpu_validation.json"
     out.parent.mkdir(exist_ok=True)
