@@ -66,23 +66,24 @@ def _roll_raster(x, k: int):
 
 
 def _raster_incl_sum(x):
-    """Inclusive raster prefix sum of an (R, L) int32 tile (row-major)."""
+    """Inclusive raster prefix sum of an (R, L) int32 tile (row-major).
+    Input entries MUST be 0/1 (every caller scans a live mask): the
+    lane-level inclusive scan and the row-total broadcast are ONE pair of
+    bf16 matmuls on the MXU (0/1 operands, row sums <= L = 128 — exact in
+    bf16 x bf16 -> f32); only the cross-row prefix (log2(R) conditional
+    row-rolls) stays on the VPU. Replaces the previous 22-round
+    roll-doubling form (~45 full-tile VPU ops saved per scan)."""
     r, l = x.shape
-    col = _iota2(x.shape, 1)
+    xb = x.astype(jnp.bfloat16)
+    tri = (_iota2((l, l), 0) <= _iota2((l, l), 1)).astype(jnp.bfloat16)
+    lane_incl = jnp.dot(
+        xb, tri, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
+    rowtot = jnp.dot(
+        xb, jnp.ones((l, l), jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
     row = _iota2(x.shape, 0)
-    y = x
-    k = 1
-    while k < l:  # inclusive scan within each row
-        y = y + jnp.where(col >= k, _roll_raster_axis1(y, k), 0)
-        k *= 2
-    # broadcast each row's total (last lane of y) across its row: suffix
-    # sum of the one-hot picked at col l-1
-    sm = jnp.where(col == l - 1, y, 0)
-    k = 1
-    while k < l:
-        sm = sm + jnp.where(col < l - k, _roll_raster_axis1(sm, l - k), 0)
-        k *= 2
-    rowtot = sm
     rowpref = rowtot  # inclusive scan of row totals down rows
     k = 1
     while k < r:
@@ -90,7 +91,7 @@ def _raster_incl_sum(x):
             row >= k, _roll_raster_axis0(rowpref, k), 0
         )
         k *= 2
-    return y + (rowpref - rowtot)  # add sum of full rows above
+    return lane_incl + (rowpref - rowtot)  # add sum of full rows above
 
 
 def _roll_raster_axis1(x, k):
@@ -127,8 +128,43 @@ def _butterfly(arrays, disp, n: int, max_disp: int | None = None):
     return arrays
 
 
+def _roll_raster_dyn(x, k):
+    """Cyclic raster roll by a traced non-negative shift k (< n)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    r, l = x.shape
+    q = k // l
+    s = k % l
+    xl = pltpu.roll(x, s, 1)
+    a = pltpu.roll(xl, q, 0)
+    b = pltpu.roll(xl, q + 1, 0)
+    col = _iota2(x.shape, 1)
+    return jnp.where(col < s, b, a)
+
+
+def _butterfly_packed(arrays, n: int, *, disp_shift: int,
+                      max_disp: int | None = None):
+    """Same movement as :func:`_butterfly`, but the displacement rides in
+    ``arrays[0]`` at bits [disp_shift, 32) — one fewer array per round,
+    and the shared displacement roll IS arrays[0]'s roll. The caller must
+    guarantee arrays[0]'s payload fits below ``disp_shift`` bits, the
+    displacement fits above, and the disp field is 0 on dead slots."""
+    if max_disp is None:
+        max_disp = n
+    bit = 0
+    while (1 << bit) < max_disp:
+        k = 1 << bit
+        sp = _roll_raster(arrays[0], n - k)  # sp[j] = arrays[0][j + k]
+        m = ((sp >> (disp_shift + bit)) & 1) == 1
+        arrays = [jnp.where(m, sp, arrays[0])] + [
+            jnp.where(m, _roll_raster(a, n - k), a) for a in arrays[1:]
+        ]
+        bit += 1
+    return arrays
+
+
 def compact_tiles(
-    starts: jnp.ndarray,     # (B, N) int32 0/1 live mask (byte-level)
+    starts: jnp.ndarray,     # (B, N) uint8/int32 0/1 live mask (byte-level)
     words: tuple,            # 4x (B, N) int32 key words (bitcast uint32)
     nbytes: jnp.ndarray,     # (B,) int32
     *,
@@ -147,6 +183,7 @@ def compact_tiles(
     R, L = tile_rows, LANES
     blk = R * L
     assert N % blk == 0, (N, blk)
+    assert blk <= 1 << 15, blk  # lidx + disp must pack into one int32
     G = N // blk
     out_rows = -(-p_cap // L) + G + R
     n_vals = 5
@@ -171,10 +208,13 @@ def compact_tiles(
         incl = _raster_incl_sum(live_i)
         cnt = incl[R - 1, L - 1]
         pos = incl - live_i
-        disp = jnp.where(live, lidx - pos, 0)
-
-        vals = [gidx, w0_ref[0], w1_ref[0], w2_ref[0], w3_ref[0]]
-        vals = _butterfly(vals, disp, blk)
+        # tile-local index and displacement are both < 2^15: pack them in
+        # one int32 (disp high, lidx low) so the butterfly moves 5 arrays
+        # instead of 6
+        packed = (jnp.where(live, lidx - pos, 0) << 16) | lidx
+        vals = [packed, w0_ref[0], w1_ref[0], w2_ref[0], w3_ref[0]]
+        vals = _butterfly_packed(vals, blk, disp_shift=16)
+        vals[0] = g * blk + (vals[0] & 0xFFFF)
 
         safe_off = jnp.minimum(row_off, out_rows - R)
         copies = []
@@ -236,52 +276,85 @@ def degap(
     interpret: bool = False,
     fill: int = 0,
     group: int = 5,
+    first_bits: int = 0,     # significant bits of arrays[0]'s payload
 ):
     """Remove inter-tile gaps: one full-window butterfly per window.
     ``group`` arrays share one pallas_call (one displacement scan for
     all of them); the butterfly is bounded to the inter-tile garbage
     (< G*L slots — each tile leaves < L dead slots — so ~12 rounds, not
     log2(window)). Slots beyond the total live count are set to
-    ``fill``."""
+    ``fill``.
+
+    The live mask and totals are precomputed in XLA from the per-tile
+    counts (row-level math on (B, OutRows) — tiny), so the kernel does no
+    G-iteration region walk. If ``first_bits`` is given and
+    first_bits + ceil_log2(G*L) <= 32, the displacement is packed into
+    arrays[0]'s high bits (one fewer array through the butterfly)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, out_rows, L = arrays[0].shape
     G = cnts.shape[1]
-    R = tile_rows
     n = out_rows * L
     # displacement bound: garbage before region g is sum of < L dead
     # slots per earlier tile; clamped (overflowing) windows are flagged
     # and discarded by the caller, so the bound only needs the
     # non-overflow case
     max_disp = G * L
+    pack = bool(first_bits) and (
+        first_bits + (max_disp - 1).bit_length() <= 32
+    )
+
+    # ---- region geometry in XLA (static G-step loop on (B,) vectors) ----
+    rpt = (cnts + (L - 1)) // L                  # rows per region (B, G)
+    offs, acc = [], jnp.zeros((B,), jnp.int32)
+    for g in range(G):
+        offs.append(acc)
+        acc = acc + rpt[:, g]
+    off_rows = jnp.stack(offs, axis=1)           # start row of region g
+    total = jnp.sum(cnts, axis=1).astype(jnp.int32)
+    rowi = jnp.arange(out_rows, dtype=jnp.int32)[None, :]
+    lo_row = jnp.zeros((B, out_rows), jnp.int32)  # region start slot
+    c_row = jnp.zeros((B, out_rows), jnp.int32)   # region live count
+    has = jnp.zeros((B, out_rows), jnp.bool_)
+    for g in range(G):
+        m = (rowi >= off_rows[:, g : g + 1]) & (
+            rowi < off_rows[:, g : g + 1] + rpt[:, g : g + 1]
+        )
+        lo_row = jnp.where(m, off_rows[:, g : g + 1] * L, lo_row)
+        c_row = jnp.where(m, cnts[:, g : g + 1], c_row)
+        has = has | m
+    lane = jnp.arange(L, dtype=jnp.int32)
+    dlt = rowi * L - lo_row                       # slot offset into region
+    live_u8 = (
+        has[..., None] & (dlt[..., None] + lane < c_row[..., None])
+    ).astype(jnp.uint8)
 
     def run(group):
         nv = len(group)
 
-        def kern(cnt_ref, *rest):
+        def kern(tot_ref, live_ref, *rest):
             in_refs = rest[:nv]
             out_refs = rest[nv : 2 * nv]
             b = pl.program_id(0)
             row = _iota2((out_rows, L), 0)
             col = _iota2((out_rows, L), 1)
             lidx = row * L + col
-            live = jnp.zeros((out_rows, L), jnp.bool_)
-            off = jnp.int32(0)
-            total = jnp.int32(0)
-            for g in range(G):
-                c = cnt_ref[b * G + g]
-                lo = off * L
-                live = live | ((lidx >= lo) & (lidx < lo + c))
-                off = off + (c + (L - 1)) // L
-                total = total + c
+            live = live_ref[0] != 0
             live_i = live.astype(jnp.int32)
             incl = _raster_incl_sum(live_i)
             pos = incl - live_i
             disp = jnp.where(live, lidx - pos, 0)
             vals = [r[0] for r in in_refs]
-            vals = _butterfly(vals, disp, n, max_disp=max_disp)
-            keep = lidx < total
+            if pack:
+                vals[0] = (disp << first_bits) | vals[0]
+                vals = _butterfly_packed(
+                    vals, n, disp_shift=first_bits, max_disp=max_disp
+                )
+                vals[0] = vals[0] & ((1 << first_bits) - 1)
+            else:
+                vals = _butterfly(vals, disp, n, max_disp=max_disp)
+            keep = lidx < tot_ref[b]
             for oref, v in zip(out_refs, vals):
                 oref[0] = jnp.where(keep, v, jnp.int32(fill))[:p_rows, :]
 
@@ -291,8 +364,9 @@ def degap(
             kern,
             grid=(B,),
             in_specs=[
-                pl.BlockSpec((B * G,), lambda b: (0,),
-                             memory_space=pltpu.SMEM)  # per-tile counts
+                pl.BlockSpec((B,), lambda b: (0,),
+                             memory_space=pltpu.SMEM),  # live totals
+                tile_in,                                # live mask (u8)
             ] + [tile_in] * nv,
             out_specs=[tile_out] * nv,
             out_shape=[
@@ -301,15 +375,17 @@ def degap(
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
-                # Mosaic's stack accounting is conservative over the 19
+                # Mosaic's stack accounting is conservative over the
                 # butterfly rounds; the physical VMEM is far larger than
                 # the 16 MB default scoped limit
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
-        )(cnts.reshape(-1), *group)
+        )(total, live_u8, *group)
 
     outs = []
+    pack_all = pack
     for i in range(0, len(arrays), max(1, group)):
+        pack = pack_all and i == 0  # only the first group holds arrays[0]
         outs.extend(run(arrays[i : i + max(1, group)]))
     return outs
 
@@ -323,7 +399,14 @@ def compact_by_mask(
 ):
     """Stable-compact ``arrays`` by ``mask`` with one full-array butterfly
     per window (grid (B,)); slots beyond the kept count get ``fill``.
-    One value array per pallas_call (scoped-VMEM budget)."""
+    One value array per pallas_call (scoped-VMEM budget).
+
+    The butterfly runs as an in-kernel ``while_loop`` over rounds with
+    dynamic rolls: a statically unrolled log2(P) round stack over a
+    full-window tile is a Mosaic compile-time wedge at P ~ 2^20 on this
+    machine's remote runtime (docs/PERF.md), and the loop also stops at
+    the ACTUAL max displacement — mostly-dense masks pay only the rounds
+    they need."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -332,7 +415,7 @@ def compact_by_mask(
     assert P % L == 0, P
     rows = P // L
     n = P
-    mask_i = mask.astype(jnp.int32).reshape(B, rows, L)
+    mask_i = mask.astype(jnp.uint8).reshape(B, rows, L)
 
     def run(val):
         def kern(m_ref, v_ref, o_ref):
@@ -345,7 +428,23 @@ def compact_by_mask(
             col = _iota2((rows, L), 1)
             lidx = row * L + col
             disp = jnp.where(live, lidx - pos, 0)
-            (v,) = _butterfly([v_ref[0]], disp, n)
+            maxd = jnp.max(disp)
+
+            def cond(st):
+                return (jnp.int32(1) << st[0]) <= maxd
+
+            def body(st):
+                bit, v, d = st
+                k = jnp.int32(1) << bit
+                sd = _roll_raster_dyn(d, n - k)
+                mm = ((sd >> bit) & 1) == 1
+                v = jnp.where(mm, _roll_raster_dyn(v, n - k), v)
+                d = jnp.where(mm, sd, d)
+                return bit + 1, v, d
+
+            _, v, _ = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), v_ref[0], disp)
+            )
             o_ref[0] = jnp.where(lidx < total, v, jnp.int32(fill))
 
         tile = pl.BlockSpec((1, rows, L), lambda b: (b, 0, 0))
@@ -390,7 +489,13 @@ def expand_by_mask(
     Used by the general (non-ASCII) resident pipeline to turn char-level
     piece-start flags back into byte-level flags without the
     scatter/sort lowerings that poison this runtime's dispatch
-    (docs/PERF.md)."""
+    (docs/PERF.md).
+
+    Both passes run as in-kernel ``while_loop``s with dynamic rolls: the
+    statically unrolled ~2*log2(P) round stack was a Mosaic compile-time
+    wedge at P ~ 2^20 on this machine's remote runtime, and the dynamic
+    form also stops at the ACTUAL max displacement (skipped high rounds
+    are exact no-ops: no take bit is ever set there)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -399,12 +504,7 @@ def expand_by_mask(
     assert P % L == 0, P
     rows = P // L
     n = P
-    mask_i = mask.astype(jnp.int32).reshape(B, rows, L)
-    bits = []
-    b = 0
-    while (1 << b) < n:
-        bits.append(b)
-        b += 1
+    mask_i = mask.astype(jnp.uint8).reshape(B, rows, L)
 
     def run(val):
         def kern(m_ref, v_ref, o_ref):
@@ -416,21 +516,38 @@ def expand_by_mask(
             col = _iota2((rows, L), 1)
             lidx = row * L + col
             disp = jnp.where(live, lidx - pos, 0)
+            maxd = jnp.max(disp)
+
             # forward displacement-only pass, recording take masks
-            tk = jnp.zeros((rows, L), jnp.int32)
-            d = disp
-            for bb in bits:
-                k = 1 << bb
-                sd = _roll_raster(d, n - k)     # sd[j] = d[j + k]
-                m = ((sd >> bb) & 1) == 1
-                tk = tk | (m.astype(jnp.int32) << bb)
-                d = jnp.where(m, sd, d)
-            # inverted replay on the values
-            y = v_ref[0]
-            for bb in reversed(bits):
-                k = 1 << bb
-                mk = ((_roll_raster(tk, k) >> bb) & 1) == 1
-                y = jnp.where(mk, _roll_raster(y, k), y)
+            def cond_f(st):
+                return (jnp.int32(1) << st[0]) <= maxd
+
+            def body_f(st):
+                bit, d, tk = st
+                k = jnp.int32(1) << bit
+                sd = _roll_raster_dyn(d, n - k)  # sd[j] = d[j + k]
+                mm = ((sd >> bit) & 1) == 1
+                tk = tk | (mm.astype(jnp.int32) << bit)
+                d = jnp.where(mm, sd, d)
+                return bit + 1, d, tk
+
+            nbits, _, tk = jax.lax.while_loop(
+                cond_f, body_f,
+                (jnp.int32(0), disp, jnp.zeros((rows, L), jnp.int32)),
+            )
+
+            # inverted replay on the values, MSB -> LSB
+            def cond_r(st):
+                return st[0] >= 0
+
+            def body_r(st):
+                bit, y = st
+                k = jnp.int32(1) << bit
+                mk = ((_roll_raster_dyn(tk, k) >> bit) & 1) == 1
+                y = jnp.where(mk, _roll_raster_dyn(y, k), y)
+                return bit - 1, y
+
+            _, y = jax.lax.while_loop(cond_r, body_r, (nbits - 1, v_ref[0]))
             o_ref[0] = jnp.where(live, y, jnp.int32(fill))
 
         tile = pl.BlockSpec((1, rows, L), lambda b: (b, 0, 0))
@@ -475,7 +592,7 @@ def compact_piece_keys_butterfly(
     p_pad = p_rows * L
 
     w = jax.vmap(sliding_words)(data, nbytes)
-    st = starts_b.astype(jnp.int32)
+    st = starts_b.astype(jnp.uint8)
     (gapped, cnts) = compact_tiles(
         st, tuple(x.astype(jnp.int32) for x in w), nbytes,
         p_cap=p_cap, tile_rows=tile_rows, interpret=interpret,
@@ -483,6 +600,9 @@ def compact_piece_keys_butterfly(
     dense = degap(
         list(gapped), cnts, p_rows=p_rows, tile_rows=tile_rows,
         interpret=interpret,
+        # gapped[0] carries byte indices < N: pack the degap displacement
+        # into its high bits when both fit one int32
+        first_bits=max(1, (N - 1).bit_length()),
     )
     n_pieces = jnp.sum(cnts, axis=1)
 
