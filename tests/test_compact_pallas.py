@@ -70,3 +70,54 @@ def test_butterfly_overflow_flagged():
     )
     n_pieces = int(np.asarray(got[6])[0])
     assert n_pieces == N > p_cap
+
+
+def test_butterfly_packed_flags_match_bool():
+    """packed=True (plane-major words straight from the bitplane starts
+    kernel) must equal the bool-flag path at the flagship window size
+    (N == 32 * blk is the packed-mode shape requirement)."""
+    import jax.numpy as jnp
+
+    from tokendagger_tpu.ops.bitplane import pack_mask
+
+    rng = np.random.default_rng(11)
+    B, N = 1, 1 << 20
+    p_cap = caps_for(N)["p_cap"]
+    data = rng.integers(32, 127, (B, N)).astype(np.uint8)
+    starts = rng.random((B, N)) < 0.22
+    starts[:, 0] = True
+    nbytes = np.array([N], np.int32)
+
+    want = compact_piece_keys_butterfly(
+        jnp.asarray(starts), jnp.asarray(data), jnp.asarray(nbytes),
+        p_cap, interpret=True,
+    )
+    words = jax.vmap(pack_mask)(jnp.asarray(starts))
+    got = compact_piece_keys_butterfly(
+        words, jnp.asarray(data), jnp.asarray(nbytes),
+        p_cap, interpret=True, packed=True,
+    )
+    for i, (w, g) in enumerate(zip(want, got)):
+        assert np.array_equal(np.asarray(w), np.asarray(g)), i
+
+
+def test_starts_packed_out_matches_unpacked():
+    from tokendagger_tpu.ops.bitplane import (
+        piece_starts_bits_pallas, unpack_mask,
+    )
+    from tokendagger_tpu.unicode_tables import get_two_level_tables
+
+    page_ids, pages = map(jnp.asarray, get_two_level_tables())
+    rng = np.random.default_rng(12)
+    B, N = 2, 1 << 13
+    cp = rng.integers(1, 127, (B, N)).astype(np.int32)
+    m = np.array([N, N - 321], np.int32)
+    plain = piece_starts_bits_pallas(
+        jnp.asarray(cp), jnp.asarray(m), page_ids, pages, interpret=True,
+    )
+    packed = piece_starts_bits_pallas(
+        jnp.asarray(cp), jnp.asarray(m), page_ids, pages, interpret=True,
+        packed_out=True,
+    )
+    unp = jax.vmap(unpack_mask)(packed)
+    assert np.array_equal(np.asarray(plain), np.asarray(unp))

@@ -36,6 +36,27 @@ def test_batched_matches_host(llama4_assets):
     assert res.total_tokens != res1.total_tokens
 
 
+def test_batched_fused_ascii_matches_host(llama4_assets):
+    """The flagship ASCII config (bits-pallas starts + butterfly compact):
+    the decode stage is fused into the starts jit (resident.py fuse_dec),
+    so the pipeline runs starts -> compact -> probe -> finalize with no
+    codepoint round-trip. Must stay bit-exact."""
+    from tokendagger_tpu.resident import run_resident
+
+    pattern, ranks, specials = llama4_assets
+    lor = pathlib.Path("/root/reference/tests/input/lorem.txt")
+    if not lor.exists():
+        pytest.skip("lorem corpus unavailable")
+    corpus = (lor.read_bytes() * 10)[: 1 << 19]
+    res = run_resident(ranks, specials, pattern, corpus,
+                       window=1 << 16, n_windows=2, reps=1, batch=2,
+                       starts_impl="bits-pallas", compact_impl="butterfly",
+                       probe_impl="chunks", overlap_trial=False)
+    assert res.impl == "ascii-sort"
+    assert res.match_host
+    assert res.total_tokens > 0
+
+
 def test_batched_general_nonascii_matches_host(llama4_assets):
     """The general (non-ASCII) batch path: butterfly UTF-8 decode ->
     bit-plane starts (class gathers) -> inverse-butterfly char->byte

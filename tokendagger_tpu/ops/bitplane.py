@@ -690,11 +690,17 @@ def piece_starts_bits_pallas(
     profile: str | None = None,
     interpret: bool = False,
     ascii_fast: bool = False,
+    packed_out: bool = False,
 ) -> jnp.ndarray:
     """derive_starts_words as ONE Pallas kernel per window batch: the ~95
     word scans run entirely in VMEM (12 x C-word inputs ~ 1.5 MB), so no
     intermediate ever round-trips HBM. Mask construction + packing stay in
-    XLA (elementwise + small reduces). Same output as piece_starts_bits."""
+    XLA (elementwise + small reduces). Same output as piece_starts_bits.
+
+    packed_out: return the start flags as (B, C) uint32 plane-major words
+    (pack_mask layout) instead of unpacking to (B, N) bool — consumers
+    that understand the plane layout (compact_tiles with packed=True)
+    skip the 8 MB/window unpack/repack round-trip entirely."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -747,5 +753,8 @@ def piece_starts_bits_pallas(
         out_shape=jax.ShapeDtypeStruct((B, rows, lanes), _U32),
         interpret=interpret,
     )(*tiles)
+    if packed_out:
+        w = starts_w.reshape(B, c)
+        return w[0] if squeeze else w
     out = jax.vmap(unpack_mask)(starts_w.reshape(B, c))
     return out[0] if squeeze else out

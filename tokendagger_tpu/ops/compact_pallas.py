@@ -171,20 +171,30 @@ def compact_tiles(
     p_cap: int,
     tile_rows: int = 256,
     interpret: bool = False,
+    packed: bool = False,
 ):
     """Tile-compact (start positions + key words); returns 5 gapped
     (B, OutRows, L) arrays [gidx, w0, w4, w8, w12] + (B, G) tile counts.
     OutRows = ceil(p_cap/L) + G + tile_rows slack rows; regions are in
-    stream order at row-quantized offsets (cumsum(ceil(cnt/L)))."""
+    stream order at row-quantized offsets (cumsum(ceil(cnt/L))).
+
+    packed: ``starts`` is (B, N/32) uint32 plane-major words (the
+    bitplane pack_mask layout). Requires N == 32*blk, in which case tile
+    g's byte flags are exactly bit g of the full word array — the word
+    tile stays VMEM-resident across the grid's g axis (constant index
+    map) and each program extracts its plane with one shift."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    B, N = starts.shape
+    B, N0 = starts.shape
+    N = N0 * 32 if packed else N0
     R, L = tile_rows, LANES
     blk = R * L
     assert N % blk == 0, (N, blk)
     assert blk <= 1 << 15, blk  # lidx + disp must pack into one int32
     G = N // blk
+    if packed:
+        assert N == 32 * blk, (N, blk)  # plane g <-> tile g
     out_rows = -(-p_cap // L) + G + R
     n_vals = 5
 
@@ -203,7 +213,13 @@ def compact_tiles(
         col = _iota2((R, L), 1)
         lidx = row * L + col
         gidx = g * blk + lidx
-        live = (st_ref[0] != 0) & (gidx < nb_ref[b])
+        if packed:
+            # word raster index == byte-within-tile; plane g == tile g.
+            # Arithmetic >> is fine: bit extraction is sign-agnostic.
+            st_bit = (st_ref[0].astype(jnp.int32) >> g) & 1
+            live = (st_bit != 0) & (gidx < nb_ref[b])
+        else:
+            live = (st_ref[0] != 0) & (gidx < nb_ref[b])
         live_i = live.astype(jnp.int32)
         incl = _raster_incl_sum(live_i)
         cnt = incl[R - 1, L - 1]
@@ -211,8 +227,8 @@ def compact_tiles(
         # tile-local index and displacement are both < 2^15: pack them in
         # one int32 (disp high, lidx low) so the butterfly moves 5 arrays
         # instead of 6
-        packed = (jnp.where(live, lidx - pos, 0) << 16) | lidx
-        vals = [packed, w0_ref[0], w1_ref[0], w2_ref[0], w3_ref[0]]
+        dl = (jnp.where(live, lidx - pos, 0) << 16) | lidx
+        vals = [dl, w0_ref[0], w1_ref[0], w2_ref[0], w3_ref[0]]
         vals = _butterfly_packed(vals, blk, disp_shift=16)
         vals[0] = g * blk + (vals[0] & 0xFFFF)
 
@@ -234,13 +250,18 @@ def compact_tiles(
 
     grid = (B, G)
     tile = pl.BlockSpec((1, R, L), lambda b, g: (b, g, 0))
+    # packed flags: one (R, L) word tile per window, constant over g —
+    # Pallas detects the unchanged block and keeps it VMEM-resident
+    st_spec = (
+        pl.BlockSpec((1, R, L), lambda b, g: (b, 0, 0)) if packed else tile
+    )
     out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec((B,), lambda b, g: (0,),
                          memory_space=pltpu.SMEM),
-        ] + [tile] * 5,
+        ] + [st_spec] + [tile] * 4,
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_vals)
         ] + [
@@ -261,7 +282,7 @@ def compact_tiles(
         ),
     )(
         nbytes,
-        starts.reshape(B, G * R, L),
+        starts.reshape(B, R, L) if packed else starts.reshape(B, G * R, L),
         *[w.reshape(B, G * R, L) for w in words],
     )
     return out[:n_vals], out[n_vals].reshape(B, G)
@@ -399,7 +420,7 @@ def compact_by_mask(
 ):
     """Stable-compact ``arrays`` by ``mask`` with one full-array butterfly
     per window (grid (B,)); slots beyond the kept count get ``fill``.
-    One value array per pallas_call (scoped-VMEM budget).
+    All value arrays share ONE pallas_call (one displacement scan).
 
     The butterfly runs as an in-kernel ``while_loop`` over rounds with
     dynamic rolls: a statically unrolled log2(P) round stack over a
@@ -417,51 +438,58 @@ def compact_by_mask(
     n = P
     mask_i = mask.astype(jnp.uint8).reshape(B, rows, L)
 
-    def run(val):
-        def kern(m_ref, v_ref, o_ref):
-            live = m_ref[0] != 0
-            live_i = live.astype(jnp.int32)
-            incl = _raster_incl_sum(live_i)
-            total = incl[rows - 1, L - 1]
-            pos = incl - live_i
-            row = _iota2((rows, L), 0)
-            col = _iota2((rows, L), 1)
-            lidx = row * L + col
-            disp = jnp.where(live, lidx - pos, 0)
-            maxd = jnp.max(disp)
+    nv = len(arrays)
 
-            def cond(st):
-                return (jnp.int32(1) << st[0]) <= maxd
+    def kern(m_ref, *refs):
+        in_refs = refs[:nv]
+        out_refs = refs[nv:]
+        live = m_ref[0] != 0
+        live_i = live.astype(jnp.int32)
+        incl = _raster_incl_sum(live_i)
+        total = incl[rows - 1, L - 1]
+        pos = incl - live_i
+        row = _iota2((rows, L), 0)
+        col = _iota2((rows, L), 1)
+        lidx = row * L + col
+        disp = jnp.where(live, lidx - pos, 0)
+        maxd = jnp.max(disp)
 
-            def body(st):
-                bit, v, d = st
-                k = jnp.int32(1) << bit
-                sd = _roll_raster_dyn(d, n - k)
-                mm = ((sd >> bit) & 1) == 1
-                v = jnp.where(mm, _roll_raster_dyn(v, n - k), v)
-                d = jnp.where(mm, sd, d)
-                return bit + 1, v, d
+        def cond(st):
+            return (jnp.int32(1) << st[0]) <= maxd
 
-            _, v, _ = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), v_ref[0], disp)
+        def body(st):
+            bit, vs, d = st
+            k = jnp.int32(1) << bit
+            sd = _roll_raster_dyn(d, n - k)
+            mm = ((sd >> bit) & 1) == 1
+            vs = tuple(
+                jnp.where(mm, _roll_raster_dyn(v, n - k), v) for v in vs
             )
-            o_ref[0] = jnp.where(lidx < total, v, jnp.int32(fill))
+            d = jnp.where(mm, sd, d)
+            return bit + 1, vs, d
 
-        tile = pl.BlockSpec((1, rows, L), lambda b: (b, 0, 0))
-        return pl.pallas_call(
-            kern,
-            grid=(B,),
-            in_specs=[tile, tile],
-            out_specs=tile,
-            out_shape=jax.ShapeDtypeStruct((B, rows, L), jnp.int32),
-            interpret=interpret,
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
-                vmem_limit_bytes=100 * 1024 * 1024,
-            ),
-        )(mask_i, val.reshape(B, rows, L)).reshape(B, P)
+        _, vs, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), tuple(r[0] for r in in_refs), disp),
+        )
+        keep = lidx < total
+        for oref, v in zip(out_refs, vs):
+            oref[0] = jnp.where(keep, v, jnp.int32(fill))
 
-    return [run(a) for a in arrays]
+    tile = pl.BlockSpec((1, rows, L), lambda b: (b, 0, 0))
+    outs = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[tile] * (1 + nv),
+        out_specs=[tile] * nv,
+        out_shape=[jax.ShapeDtypeStruct((B, rows, L), jnp.int32)] * nv,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(mask_i, *[a.reshape(B, rows, L) for a in arrays])
+    return [o.reshape(B, P) for o in outs]
 
 
 def expand_by_mask(
@@ -569,21 +597,26 @@ def expand_by_mask(
 
 @partial(
     jax.jit,
-    static_argnames=("p_cap", "tile_rows", "interpret"),
+    static_argnames=("p_cap", "tile_rows", "interpret", "packed"),
 )
 def compact_piece_keys_butterfly(
-    starts_b: jnp.ndarray,   # (B, N) bool byte-level piece-start flags
+    starts_b: jnp.ndarray,   # (B, N) bool byte flags — or see ``packed``
     data: jnp.ndarray,       # (B, N) uint8 raw windows
     nbytes: jnp.ndarray,     # (B,) int32
     p_cap: int,
     *,
     tile_rows: int = 256,
     interpret: bool = False,
+    packed: bool = False,
 ):
     """Batched drop-in for compact_piece_keys_sorted (same per-window
     contract, plus a batch axis): returns (start_b, piece_len, k0..k3,
     n_pieces) with identical pad semantics, via the butterfly kernels
-    instead of a 5-operand sort."""
+    instead of a 5-operand sort.
+
+    packed: ``starts_b`` is (B, N/32) uint32 plane-major words straight
+    from piece_starts_bits_pallas(packed_out=True) — no unpack/repack
+    round-trip (requires N == 32 * tile_rows * 128)."""
     from .join import sliding_words
 
     B, N = data.shape
@@ -592,10 +625,11 @@ def compact_piece_keys_butterfly(
     p_pad = p_rows * L
 
     w = jax.vmap(sliding_words)(data, nbytes)
-    st = starts_b.astype(jnp.uint8)
+    st = starts_b if packed else starts_b.astype(jnp.uint8)
     (gapped, cnts) = compact_tiles(
         st, tuple(x.astype(jnp.int32) for x in w), nbytes,
         p_cap=p_cap, tile_rows=tile_rows, interpret=interpret,
+        packed=packed,
     )
     dense = degap(
         list(gapped), cnts, p_rows=p_rows, tile_rows=tile_rows,

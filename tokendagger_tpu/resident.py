@@ -274,6 +274,21 @@ def run_resident(
         def probe_stage(k0, k1, k2, k3, pl, npc):
             return probe_fn(k0, k1, k2, k3, pl, npc)
 
+        if compact_impl == "butterfly" and impl not in ("ascii-sort",
+                                                        "general"):
+            # the butterfly path takes byte-level start flags (char == byte
+            # for ASCII; the general path expands char flags to byte flags
+            # with the inverse butterfly); degrade to the sort otherwise
+            compact_impl = "sort"
+        # ASCII + bits-pallas: the decode stage is just a widening — fuse
+        # it into the starts jit (no (B, N) int32 codepoint round-trip),
+        # and hand the flags to the butterfly compact as packed plane
+        # words when the shapes line up (N == 32 * blk)
+        fuse_dec = (impl == "ascii-sort" and starts_impl == "bits-pallas"
+                    and compact_impl == "butterfly")
+        packed_flags = (
+            fuse_dec and compact_impl == "butterfly" and N == 32 * 256 * 128
+        )
         v_dec = jax.jit(jax.vmap(dec_stage))
         if starts_impl in ("bits", "bits-pallas"):
             # bit-plane boolean-run derivation (ops/bitplane.py): 32 chars
@@ -288,12 +303,26 @@ def run_resident(
             if starts_impl == "bits-pallas":
                 interp_s = jax.default_backend() != "tpu"
 
-                def starts_bits_pallas_stage(cp, m):
-                    return piece_starts_bits_pallas(
-                        cp, m, page_ids, pages, contractions=profile != "nocontract",
-                        profile=profile, ascii_fast=af,
-                        interpret=interp_s,
-                    )
+                if fuse_dec:
+                    def starts_bits_pallas_stage(dv, nbs):
+                        idx = jnp.arange(N, dtype=jnp.int32)[None, :]
+                        cp = jnp.where(
+                            idx < nbs[:, None], dv.astype(jnp.int32), 0
+                        )
+                        return piece_starts_bits_pallas(
+                            cp, nbs, page_ids, pages,
+                            contractions=profile != "nocontract",
+                            profile=profile, ascii_fast=af,
+                            packed_out=packed_flags, interpret=interp_s,
+                        )
+                else:
+                    def starts_bits_pallas_stage(cp, m):
+                        return piece_starts_bits_pallas(
+                            cp, m, page_ids, pages,
+                            contractions=profile != "nocontract",
+                            profile=profile, ascii_fast=af,
+                            interpret=interp_s,
+                        )
 
                 v_starts = jax.jit(starts_bits_pallas_stage)
                 if impl == "general":
@@ -338,12 +367,6 @@ def run_resident(
                 v_starts = jax.jit(jax.vmap(starts_bits_stage))
         else:
             v_starts = jax.jit(jax.vmap(starts_stage))
-        if compact_impl == "butterfly" and impl not in ("ascii-sort",
-                                                        "general"):
-            # the butterfly path takes byte-level start flags (char == byte
-            # for ASCII; the general path expands char flags to byte flags
-            # with the inverse butterfly); degrade to the sort otherwise
-            compact_impl = "sort"
         if compact_impl == "butterfly":
             # Pallas displacement-butterfly compaction (ops/compact_pallas):
             # replaces the 5-operand full-window sort.
@@ -353,7 +376,8 @@ def run_resident(
 
             def compact_butterfly_stage(st, cob, boc, d, nb):
                 return compact_piece_keys_butterfly(
-                    st, d, nb, p_cap, interpret=interp
+                    st, d, nb, p_cap, interpret=interp,
+                    packed=packed_flags,
                 )
 
             v_compact = jax.jit(compact_butterfly_stage)
@@ -403,6 +427,14 @@ def run_resident(
                 st_b = v_expand(starts_c, lead)
                 sb, pl, k0, k1, k2, k3, npc = v_compact(
                     st_b, None, None, devs, nbs
+                )
+                rank = v_probe(k0, k1, k2, k3, pl, npc)
+                return v_fin(sb, pl, rank, npc)
+        elif fuse_dec:
+            def pipeline_b(devs, nbs):
+                starts = v_starts(devs, nbs)   # decode fused in
+                sb, pl, k0, k1, k2, k3, npc = v_compact(
+                    starts, None, None, devs, nbs
                 )
                 rank = v_probe(k0, k1, k2, k3, pl, npc)
                 return v_fin(sb, pl, rank, npc)
