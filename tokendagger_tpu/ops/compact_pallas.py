@@ -417,17 +417,24 @@ def compact_by_mask(
     *,
     interpret: bool = False,
     fill: int = 0,
+    unroll: bool | None = None,
 ):
     """Stable-compact ``arrays`` by ``mask`` with one full-array butterfly
     per window (grid (B,)); slots beyond the kept count get ``fill``.
     All value arrays share ONE pallas_call (one displacement scan).
 
-    The butterfly runs as an in-kernel ``while_loop`` over rounds with
-    dynamic rolls: a statically unrolled log2(P) round stack over a
-    full-window tile is a Mosaic compile-time wedge at P ~ 2^20 on this
-    machine's remote runtime (docs/PERF.md), and the loop also stops at
-    the ACTUAL max displacement — mostly-dense masks pay only the rounds
-    they need."""
+    Two round forms (``unroll=None`` picks by size):
+
+    * static unrolled log2(P) stack (static rolls) for P <= 2^19 — the
+      form measured at 0.42 ms in finalize at p_cap shapes; sparse masks
+      (finalize's misses) have near-P max displacement, so a dynamic
+      loop saves nothing there and pays ~3x per round in dynamic-roll
+      blends (measured: finalize 0.42 -> 1.27 ms on v5e).
+    * in-kernel ``while_loop`` with dynamic rolls above that: the
+      unrolled stack is a Mosaic compile-time wedge at P ~ 2^20 on this
+      machine's remote runtime (docs/PERF.md), and the loop stops at the
+      ACTUAL max displacement — the general path's mostly-dense lead
+      masks pay only the rounds they need."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -436,6 +443,8 @@ def compact_by_mask(
     assert P % L == 0, P
     rows = P // L
     n = P
+    if unroll is None:
+        unroll = P <= (1 << 19)
     mask_i = mask.astype(jnp.uint8).reshape(B, rows, L)
 
     nv = len(arrays)
@@ -452,26 +461,31 @@ def compact_by_mask(
         col = _iota2((rows, L), 1)
         lidx = row * L + col
         disp = jnp.where(live, lidx - pos, 0)
-        maxd = jnp.max(disp)
 
-        def cond(st):
-            return (jnp.int32(1) << st[0]) <= maxd
+        if unroll:
+            vs = _butterfly([r[0] for r in in_refs], disp, n)
+        else:
+            maxd = jnp.max(disp)
 
-        def body(st):
-            bit, vs, d = st
-            k = jnp.int32(1) << bit
-            sd = _roll_raster_dyn(d, n - k)
-            mm = ((sd >> bit) & 1) == 1
-            vs = tuple(
-                jnp.where(mm, _roll_raster_dyn(v, n - k), v) for v in vs
+            def cond(st):
+                return (jnp.int32(1) << st[0]) <= maxd
+
+            def body(st):
+                bit, vs, d = st
+                k = jnp.int32(1) << bit
+                sd = _roll_raster_dyn(d, n - k)
+                mm = ((sd >> bit) & 1) == 1
+                vs = tuple(
+                    jnp.where(mm, _roll_raster_dyn(v, n - k), v)
+                    for v in vs
+                )
+                d = jnp.where(mm, sd, d)
+                return bit + 1, vs, d
+
+            _, vs, _ = jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(0), tuple(r[0] for r in in_refs), disp),
             )
-            d = jnp.where(mm, sd, d)
-            return bit + 1, vs, d
-
-        _, vs, _ = jax.lax.while_loop(
-            cond, body,
-            (jnp.int32(0), tuple(r[0] for r in in_refs), disp),
-        )
         keep = lidx < total
         for oref, v in zip(out_refs, vs):
             oref[0] = jnp.where(keep, v, jnp.int32(fill))
