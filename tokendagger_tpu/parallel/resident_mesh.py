@@ -47,7 +47,6 @@ def mesh_resident_pipeline(
     Returns (fn, in_shardings) — callers place inputs with
     ``jax.device_put(x, in_shardings[i])`` for zero-copy dispatch.
     """
-    from ..ops import pretokenize as PT
     from ..ops.bitplane import piece_starts_bits_pallas
     from ..ops.compact_pallas import (
         compact_piece_keys_butterfly, finalize_butterfly,
@@ -57,16 +56,21 @@ def mesh_resident_pipeline(
     vhash_rows = jnp.asarray(tables.vhash8_rows)
     vhash_mask = tables.vhash8_mask
     trim = jnp.int32(window)
+    # same handoff as resident.py's flagship config: the ASCII decode is
+    # just a widening fused into the starts stage, and the flags ride as
+    # packed plane words when the window is 32 * the butterfly block
+    packed = window == 32 * 256 * 128
 
     def local_pipeline(devs, nbs):
         # devs (b_local, N) uint8; nbs (b_local,)
-        cp, cob, boc, m = jax.vmap(PT._utf8_decode_ascii_j)(devs, nbs)
+        idx = jnp.arange(window, dtype=jnp.int32)[None, :]
+        cp = jnp.where(idx < nbs[:, None], devs.astype(jnp.int32), 0)
         starts = piece_starts_bits_pallas(
-            cp, m, page_ids, pages, contractions=True, profile="llama4",
-            ascii_fast=True, interpret=interpret,
+            cp, nbs, page_ids, pages, contractions=True, profile="llama4",
+            ascii_fast=True, packed_out=packed, interpret=interpret,
         )
         sb, pl_, k0, k1, k2, k3, npc = compact_piece_keys_butterfly(
-            starts, devs, nbs, p_cap, interpret=interpret,
+            starts, devs, nbs, p_cap, packed=packed, interpret=interpret,
         )
         rank = jax.vmap(
             lambda a, b, c, d, e: vocab_probe8t_chunks(
