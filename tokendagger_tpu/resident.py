@@ -135,11 +135,13 @@ def run_resident(
     if probe_impl == "chunks":
         # static span slicing, no control flow: ~31% over monolithic.
         # The sweet spot is shape-dependent (chip sweeps, 8 windows:
-        # p_cap 349568 -> 16 chunks 6.17 ms; p_cap 262144 -> 32 chunks
-        # 4.93 ms, 16 chunks 6.40; results/probe_chunks_sweep*.log)
+        # p_cap 349568 -> 16 chunks 6.17 ms (32 -> 6.42, 64 -> 6.28);
+        # p_cap 262144 -> 64 chunks 4.65 ms (32 -> 4.93, 16 -> 6.40;
+        # 96-256 flat or worse for much longer compiles);
+        # results/probe_chunks_sweep*.log + tools/sweep_compact.py)
         p_cap_probe = caps_for(window,
                                bytes_per_piece=cap_bytes_per_piece)["p_cap"]
-        n_chunks = 16 if p_cap_probe > 300_000 else 32
+        n_chunks = 16 if p_cap_probe > 300_000 else 64
 
         def probe_fn(k0, k1, k2, k3, pl, npc):
             return vocab_probe8t_chunks(k0, k1, k2, k3, pl,

@@ -42,7 +42,8 @@ def main():
     print("devices:", jax.devices(), flush=True)
 
     B, N = 8, 1 << 20
-    p_cap = caps_for(N, bytes_per_piece=4.0)["p_cap"]
+    bpp = 3.0 if "--cap3" in sys.argv else 4.0
+    p_cap = caps_for(N, bytes_per_piece=bpp)["p_cap"]
     rng = np.random.default_rng(0)
     ranks = vocab.load_tiktoken_model("/root/reference/src/tokenizer.model")
     t = build_tables(ranks, {})
@@ -78,15 +79,19 @@ def main():
               flush=True)
         return dev
 
-    for tr in (128, 256, 512):
-        fn = jax.jit(lambda s, d, nb, tr=tr: compact_piece_keys_butterfly(
-            s, d, nb, p_cap, tile_rows=tr))
-        timed(f"compact tile_rows={tr} bool", fn, starts, data, nbytes)
-    fnp = jax.jit(lambda s, d, nb: compact_piece_keys_butterfly(
-        s, d, nb, p_cap, tile_rows=256, packed=True))
-    timed("compact tile_rows=256 packed", fnp, words, data, nbytes)
+    # tile_rows=512 would need blk=65536 > 2^15 lidx+disp packing — invalid
+    if "--probe-only" not in sys.argv:
+        for tr in (128, 256):
+            fn = jax.jit(lambda s, d, nb, tr=tr: compact_piece_keys_butterfly(
+                s, d, nb, p_cap, tile_rows=tr))
+            timed(f"compact tile_rows={tr} bool", fn, starts, data, nbytes)
+        fnp = jax.jit(lambda s, d, nb: compact_piece_keys_butterfly(
+            s, d, nb, p_cap, tile_rows=256, packed=True))
+        timed("compact tile_rows=256 packed", fnp, words, data, nbytes)
 
-    for nc in (16, 32, 48, 64):
+    chunk_arms = ((32, 48, 64, 96) if "--cap3" in sys.argv
+                  else (16, 32, 48, 64, 96, 128, 192, 256))
+    for nc in chunk_arms:
         fn = jax.jit(lambda *a, nc=nc: vocab_probe8t_chunks(
             *a, rows8, vmask, n_chunks=nc))
         timed(f"probe chunks={nc} p_cap={p_cap}", fn, *qk, ql)
