@@ -301,3 +301,96 @@ def test_bits_vmap_batch(tables):
                                 profile="llama4")
         )
         assert np.array_equal(want, got[b]), texts[b][:40]
+
+
+# ===========================================================================
+# Plane-space ASCII mask construction (_char_masks_planes)
+# ===========================================================================
+
+
+def _ascii_row(rng, n, m):
+    """Valid ASCII bytes in [0, m), arbitrary garbage (incl. >= 128) after."""
+    row = rng.integers(0, 256, n).astype(np.uint8)
+    row[:m] = rng.integers(1, 128, m).astype(np.uint8)
+    # sprinkle structure so every class fires
+    for i, ch in enumerate(b"it's WON'T I'll 123,456 a//b \r\n\t  Zz0"):
+        if i < m:
+            row[i] = ch
+    return row
+
+
+@pytest.mark.parametrize("contractions", [True, False])
+def test_plane_masks_equal_char_masks(contractions):
+    page_ids, pages = get_two_level_tables()
+    rng = np.random.default_rng(42)
+    n = 2048
+    for m in (0, 1, 31, 32, 33, 100, n - 5, n):
+        by = _ascii_row(rng, n, m)
+        cp = jnp.asarray(np.where(np.arange(n) < m, by, 0).astype(np.int32))
+        want = {
+            k: np.asarray(BP.pack_mask(v))
+            for k, v in BP._char_masks(
+                cp, jnp.int32(m), jnp.asarray(page_ids),
+                jnp.asarray(pages), contractions=contractions,
+                ascii_fast=True,
+            ).items()
+        }
+        got = {
+            k: np.asarray(v)
+            for k, v in BP._char_masks_planes(
+                jnp.asarray(by), jnp.int32(m), contractions=contractions
+            ).items()
+        }
+        assert set(want) == set(got)
+        for k in want:
+            assert np.array_equal(want[k], got[k]), (k, m, contractions)
+
+
+def test_bits_ascii_planes_end_to_end(tables):
+    page_ids, pages = tables
+    texts = [
+        "it's can't   WON'T I'll we're 123,456  hello World!! " * 30,
+        "a/b//c   \r\n\n\t  x 999999999 ...ABC...xyz '''' " * 40,
+        "", " ", "'s", "I'm o'clock o''clock dont't''ve",
+    ]
+    for text in texts:
+        n = max(32, -(-len(text) // 32) * 32)
+        cp, m = _pad(text, n)
+        want = np.asarray(
+            PT.piece_starts_jax(cp, m, page_ids, pages, profile="llama4")
+        )
+        got = np.asarray(
+            BP.piece_starts_bits(cp, m, page_ids, pages, profile="llama4",
+                                 ascii_fast=True)
+        )
+        assert np.array_equal(want, got), repr(text[:40])
+
+
+def test_bits_pallas_ascii_planes_uint8(tables):
+    """The fused resident handoff: raw uint8 windows with garbage tails."""
+    page_ids, pages = tables
+    rng = np.random.default_rng(7)
+    N = 8192
+    texts = ["it's  WON'T I'll 123,456 hello World!! a//b \r\n " * 60,
+             "x" * N, ""]
+    rows, ms = [], []
+    for t in texts:
+        m = min(len(t), N)
+        row = _ascii_row(rng, N, 0)  # all garbage
+        row[:m] = np.frombuffer(t.encode()[:m], np.uint8)
+        rows.append(row)
+        ms.append(m)
+    by = jnp.asarray(np.stack(rows))
+    m = jnp.asarray(np.array(ms, np.int32))
+    got = np.asarray(
+        BP.piece_starts_bits_pallas(
+            by, m, page_ids, pages, profile="llama4", ascii_fast=True,
+            interpret=True,
+        )
+    )
+    for b, t in enumerate(texts):
+        cp, mm = _pad(t[:N], N)
+        want = np.asarray(
+            PT.piece_starts_jax(cp, mm, page_ids, pages, profile="llama4")
+        )
+        assert np.array_equal(want, got[b]), t[:40]

@@ -385,6 +385,154 @@ def _cls_bit_ascii(cp, name):
 _S, _T, _R, _E, _V, _M, _L, _D = range(8)
 
 
+# ===========================================================================
+# Plane-space ASCII mask construction: bytes -> packed class words directly
+# ===========================================================================
+#
+# The char-space ascii_fast path computes ~10 boolean masks with range
+# compares on (N,) int32 and packs each with pack_mask (2N ops/mask). For
+# all-ASCII windows the same masks are pure boolean functions of the 7 low
+# BIT-PLANES of the byte: pack the byte's bit-planes ONCE (8 shift+sum
+# passes) and evaluate every class with a handful of word ops on (N/32,)
+# words — the whole mask stage drops from ~100N to ~30N elementwise ops.
+# Exact by construction: member sets come from the same authoritative
+# class table; equality with the char-space path is asserted in
+# tests/test_bitplane.py.
+
+
+def _ascii_class_members():
+    """Member byte sets per class bit + fold-letter sets (ASCII only),
+    from the authoritative tables. Cached."""
+    global _ASCII_MEMBERS
+    if _ASCII_MEMBERS is None:
+        from ..scanner_ref import _FOLD_ORDER
+        from ..unicode_tables import get_tables
+
+        table, folds = get_tables()
+        classes = {}
+        for name, bit in (("ws", WS), ("rn", RN), ("let", LETTER),
+                          ("num", NUM), ("uc", UC), ("lc", LC)):
+            classes[name] = frozenset(
+                b for b in range(128) if table[b] & bit
+            )
+        classes["sp"] = frozenset([ord(" ")])
+        classes["apo"] = frozenset([ord("'")])
+        classes["rnsl"] = classes["rn"] | {ord("/")}
+        # fold sets: ASCII members only (ascii_fast guarantees cp < 128,
+        # so non-ASCII fold codepoints like U+017F can never match)
+        fold = {
+            i: frozenset(c for c in folds[L].tolist() if c < 128)
+            for i, L in enumerate(_FOLD_ORDER)
+        }
+        _ASCII_MEMBERS = (classes, fold)
+    return _ASCII_MEMBERS
+
+
+_ASCII_MEMBERS = None
+
+
+def _pack_byte_planes(by: jnp.ndarray):
+    """(N,) integer byte values -> 7 packed (N/32,) uint32 bit-planes in
+    pack_mask layout (plane i word w bit p = bit i of byte[p*C + w]).
+    Bit 7 is not produced: every *valid* byte is < 128 under the
+    ascii_fast contract, and invalid tail bytes are masked by the caller
+    via the valid words."""
+    n = by.shape[0]
+    assert n % 32 == 0, n
+    c = n // 32
+    rows = by.reshape(32, c).astype(_U32)
+    sh = jnp.arange(32, dtype=_U32)[:, None]
+    return [
+        jnp.sum(((rows >> _U32(i)) & _U32(1)) << sh, axis=0, dtype=_U32)
+        for i in range(7)
+    ]
+
+
+def _valid_words(m, c: int):
+    """Packed validity plane for length m: bit p of word w = (p*C+w < m).
+    Closed form — the count of valid planes at word w is ceil((m-w)/C),
+    so the word is a low-bit run of that length. ~6 word ops total
+    instead of a 2N pack."""
+    w = jnp.arange(c, dtype=jnp.int32)
+    t = jnp.clip((jnp.asarray(m, jnp.int32) - w + (c - 1)) // c, 0, 32)
+    run = (_U32(1) << jnp.minimum(t, 31).astype(_U32)) - _U32(1)
+    return jnp.where(t >= 32, _ALL1, run)
+
+
+def _char_masks_planes(by, m, *, contractions: bool):
+    """ascii_fast mask construction in plane space: returns the packed
+    (C,) uint32 word dict (same keys/values as pack_mask over
+    _char_masks(..., ascii_fast=True)). ``by`` is the raw byte window
+    (uint8 or any int dtype); bytes at positions >= m may be arbitrary
+    (they are masked via the validity plane)."""
+    n = by.shape[0]
+    c = n // 32
+    valid = _valid_words(m, c)
+    # mask the positive planes with validity: every used member byte is
+    # nonzero, so each minterm below carries at least one positive
+    # literal and invalid chars can never match any class
+    b = [p & valid for p in _pack_byte_planes(by)]
+    nb = [~p for p in b[:4]]
+    lo_eq = [
+        (b[0] if v & 1 else nb[0]) & (b[1] if v & 2 else nb[1])
+        & (b[2] if v & 4 else nb[2]) & (b[3] if v & 8 else nb[3])
+        for v in range(16)
+    ]
+    nb4, nb5, nb6 = ~b[4], ~b[5], ~b[6]
+    hi_eq = [
+        (b[4] if h & 1 else nb4) & (b[5] if h & 2 else nb5)
+        & (b[6] if h & 4 else nb6)
+        for h in range(8)
+    ]
+
+    def members(mset):
+        out = None
+        for h in range(8):
+            row = [v for v in range(16) if (h << 4) | v in mset]
+            if not row:
+                continue
+            # h == 0 full-row would match invalid (all-zero) chars; no
+            # current class needs it, keep the guard for safety
+            if len(row) == 16 and h != 0:
+                t = hi_eq[h]
+            else:
+                rr = lo_eq[row[0]]
+                for v in row[1:]:
+                    rr = rr | lo_eq[v]
+                t = hi_eq[h] & rr
+            out = t if out is None else (out | t)
+        return out if out is not None else jnp.zeros_like(valid)
+
+    classes, fold = _ascii_class_members()
+    ws = members(classes["ws"])
+    rn = members(classes["rn"])
+    uc = members(classes["uc"])
+    lc = members(classes["lc"])
+    let = uc | lc
+    num = members(classes["num"])
+    sp = members(classes["sp"])
+    apo = members(classes["apo"])
+    rnsl = rn | members(classes["rnsl"] - classes["rn"])
+
+    if contractions:
+        f = {i: members(fold[i]) for i in range(8)}
+        # fold_one[i] = char i+1 folds to s/t/m/d; fold_two[i] = chars
+        # (i+1, i+2) fold to (r,e)/(v,e)/(l,l). nxtk fills with 0 and the
+        # fold planes are validity-masked, so out-of-range chars never
+        # match — same semantics as the char-space cp1/cp2 zero fill.
+        fold_one = nxtk(f[_S] | f[_T] | f[_M] | f[_D], 1)
+        fold_two = (nxtk(f[_R] | f[_V], 1) & nxtk(f[_E], 2)) | (
+            nxtk(f[_L], 1) & nxtk(f[_L], 2)
+        )
+    else:
+        fold_one = jnp.zeros_like(valid)
+        fold_two = jnp.zeros_like(valid)
+    return dict(
+        valid=valid, ws=ws, rn=rn, let=let, num=num, uc=uc, lc=lc,
+        sp=sp, apo=apo, rnsl=rnsl, fold1=fold_one, fold2=fold_two,
+    )
+
+
 def _char_masks(cp, m, page_ids, pages, *, contractions: bool,
                 ascii_fast: bool = False):
     from .pretokenize import _cls_lookup, _fold_is, _shl
@@ -672,9 +820,12 @@ def piece_starts_bits(
     if n32 != n:
         cp = jnp.concatenate([cp, jnp.zeros((n32 - n,), cp.dtype)])
 
-    mk = _char_masks(cp, m, page_ids, pages, contractions=contractions,
-                     ascii_fast=ascii_fast)
-    P = {k: pack_mask(v) for k, v in mk.items()}
+    if ascii_fast:
+        P = _char_masks_planes(cp, m, contractions=contractions)
+    else:
+        mk = _char_masks(cp, m, page_ids, pages, contractions=contractions,
+                         ascii_fast=ascii_fast)
+        P = {k: pack_mask(v) for k, v in mk.items()}
     starts = derive_starts_words(P, contractions=contractions, n_total=n32)
     out = unpack_mask(starts)
     return out[:n] if n32 != n else out
@@ -720,12 +871,22 @@ def piece_starts_bits_pallas(
     rows = c // lanes
     m_arr = jnp.broadcast_to(jnp.asarray(m, jnp.int32).reshape(-1), (B,))
 
-    def pack_all(cp_row, m_row):
-        mk = _char_masks(
-            cp_row, m_row, page_ids, pages, contractions=contractions,
-            ascii_fast=ascii_fast,
-        )
-        return tuple(pack_mask(mk[k]) for k in MASK_ORDER)
+    if ascii_fast:
+        # plane-space construction: bytes -> packed words directly (the
+        # char-space compare+pack form costs ~1.0 ms per 8 MB on v5e vs
+        # ~0.3 ms for this; tools/sweep_starts.py). cp may be the raw
+        # uint8 window — garbage tail bytes are masked by the validity
+        # plane inside.
+        def pack_all(cp_row, m_row):
+            d = _char_masks_planes(cp_row, m_row, contractions=contractions)
+            return tuple(d[k] for k in MASK_ORDER)
+    else:
+        def pack_all(cp_row, m_row):
+            mk = _char_masks(
+                cp_row, m_row, page_ids, pages, contractions=contractions,
+                ascii_fast=ascii_fast,
+            )
+            return tuple(pack_mask(mk[k]) for k in MASK_ORDER)
 
     packed = jax.vmap(pack_all)(cp, m_arr)  # tuple of (B, C) uint32
     tiles = [p.reshape(B, rows, lanes) for p in packed]

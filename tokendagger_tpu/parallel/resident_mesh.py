@@ -62,19 +62,21 @@ def mesh_resident_pipeline(
     packed = window == 32 * 256 * 128
 
     def local_pipeline(devs, nbs):
-        # devs (b_local, N) uint8; nbs (b_local,)
-        idx = jnp.arange(window, dtype=jnp.int32)[None, :]
-        cp = jnp.where(idx < nbs[:, None], devs.astype(jnp.int32), 0)
+        # devs (b_local, N) uint8; nbs (b_local,) — ascii_fast consumes
+        # the raw byte window (plane-space masks; validity plane covers
+        # the garbage tail, no int32 widening)
         starts = piece_starts_bits_pallas(
-            cp, nbs, page_ids, pages, contractions=True, profile="llama4",
+            devs, nbs, page_ids, pages, contractions=True, profile="llama4",
             ascii_fast=True, packed_out=packed, interpret=interpret,
         )
         sb, pl_, k0, k1, k2, k3, npc = compact_piece_keys_butterfly(
             starts, devs, nbs, p_cap, packed=packed, interpret=interpret,
         )
+        # 64 chunks = the chip-swept sweet spot at the flagship p_cap
+        # (tools/sweep_compact.py); cheap and equivalent at other shapes
         rank = jax.vmap(
             lambda a, b, c, d, e: vocab_probe8t_chunks(
-                a, b, c, d, e, vhash_rows, vhash_mask)
+                a, b, c, d, e, vhash_rows, vhash_mask, n_chunks=64)
         )(k0, k1, k2, k3, pl_)
         out = finalize_butterfly(
             sb, pl_, rank, npc, trim, p_cap=p_cap, interpret=interpret,

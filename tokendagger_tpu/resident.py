@@ -306,13 +306,12 @@ def run_resident(
                 interp_s = jax.default_backend() != "tpu"
 
                 if fuse_dec:
+                    # ascii_fast takes the raw byte window: mask
+                    # construction happens in plane space (validity plane
+                    # masks the garbage tail; no int32 widening at all)
                     def starts_bits_pallas_stage(dv, nbs):
-                        idx = jnp.arange(N, dtype=jnp.int32)[None, :]
-                        cp = jnp.where(
-                            idx < nbs[:, None], dv.astype(jnp.int32), 0
-                        )
                         return piece_starts_bits_pallas(
-                            cp, nbs, page_ids, pages,
+                            dv, nbs, page_ids, pages,
                             contractions=profile != "nocontract",
                             profile=profile, ascii_fast=af,
                             packed_out=packed_flags, interpret=interp_s,

@@ -57,25 +57,34 @@ def main():
         return dev
 
     # a) the full fused stage exactly as resident.py's flagship runs it
+    # (raw uint8 windows; ascii_fast builds masks in plane space)
     def full_stage(dv, nbs):
-        cp = dv.astype(jnp.int32)  # ASCII decode is a widening
         return bp.piece_starts_bits_pallas(
-            cp, nbs, page_ids, pages, contractions=True,
+            dv, nbs, page_ids, pages, contractions=True,
             ascii_fast=True, packed_out=True)
 
     timed("full stage (decode+masks+pack+kernel)",
           jax.jit(full_stage), data, nbytes)
 
-    # b) masks + pack only
-    def masks_pack(dv, nbs):
-        cp = dv.astype(jnp.int32)
+    # b) masks + pack only (plane-space form; pass --char for the old
+    # char-space compare+pack form)
+    if "--char" in sys.argv:
+        def masks_pack(dv, nbs):
+            cp = dv.astype(jnp.int32)
 
-        def one(cp_row, m_row):
-            mk = bp._char_masks(cp_row, m_row, page_ids, pages,
-                                contractions=True, ascii_fast=True)
-            return tuple(bp.pack_mask(mk[k]) for k in bp.MASK_ORDER)
+            def one(cp_row, m_row):
+                mk = bp._char_masks(cp_row, m_row, page_ids, pages,
+                                    contractions=True, ascii_fast=True)
+                return tuple(bp.pack_mask(mk[k]) for k in bp.MASK_ORDER)
 
-        return jax.vmap(one)(cp, nbs)
+            return jax.vmap(one)(cp, nbs)
+    else:
+        def masks_pack(dv, nbs):
+            def one(by_row, m_row):
+                d = bp._char_masks_planes(by_row, m_row, contractions=True)
+                return tuple(d[k] for k in bp.MASK_ORDER)
+
+            return jax.vmap(one)(dv, nbs)
 
     packed = jax.jit(masks_pack)(data, nbytes)
     jax.block_until_ready(packed)
