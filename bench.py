@@ -162,6 +162,14 @@ def main() -> None:
     ap.add_argument("--mb", type=float, default=None, help="corpus size in MB")
     ap.add_argument("--backend", default="best",
                     choices=["best", "auto", "host", "tpu", "tpu-resident"])
+    ap.add_argument("--budget-s", type=float, default=480.0,
+                    help="best-mode total wall budget: the headline JSON "
+                         "line is printed the moment the host arms finish, "
+                         "then TPU probes enrich it only while budget "
+                         "remains (each skipped probe records a "
+                         "skipped_reason). BENCH_r03 was lost to rc=124 "
+                         "because the old flow printed nothing until every "
+                         "probe returned.")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--chunk-kb", type=int, default=256)
     ap.add_argument("--window", type=int, default=1 << 20,
@@ -205,13 +213,22 @@ def main() -> None:
         device_resident_main(args)
         return
 
+    t_start = time.perf_counter()
+
+    def remaining() -> float:
+        return args.budget_s - (time.perf_counter() - t_start)
+
     # Warm the hypervisor's lazy memory grant before timing anything: this
     # microVM demand-faults fresh pages from the host at ~12-90 MB/s, which
     # at GB scale otherwise dominates BOTH arms (see tools/prefault.py).
+    # Capped at 3 GB (~15 s): enough for the 256 MB default's peak
+    # footprint, and the cap keeps the warmup from eating the budget the
+    # way the r03 9 GB prefault did (34.6 s before any timing started).
     try:
         from tools.prefault import prefault
 
-        prefault(min(24, int(args.mb / 1024 * 14) + 6))
+        gb = min(3, int(args.mb / 1024 * 8) + 1)
+        prefault(gb, workers=min(4, gb))
     except Exception as e:  # noqa: BLE001 - never block the bench on warmup
         print(f"prefault warmup skipped: {e}", file=sys.stderr)
 
@@ -288,72 +305,112 @@ def main() -> None:
             detail["host_np_mbps"] = round(best_np, 2)
         except Exception:  # noqa: BLE001
             pass
+
+        def emit(value: float, extra: dict) -> None:
+            print(json.dumps({
+                "metric": f"encode_throughput_{name}",
+                "value": round(value, 2),
+                "unit": "MB/s",
+                "vs_baseline": round(value / BASELINE_MBPS, 3),
+                "detail": {**detail, **extra},
+            }), flush=True)
+
+        # The headline line goes out NOW, before any TPU probe: the driver
+        # parses the last complete JSON line it captured, so a wedged
+        # tunnel probe (or the driver's own timeout) can no longer erase
+        # the host/tiktoken record the way it erased BENCH_r03.
+        detail["elapsed_s"] = round(time.perf_counter() - t_start, 1)
+        emit(host_mbps, {"winner": "host",
+                         "tpu_probes": "pending (enriched line follows)"})
+
         # TPU measurements run in subprocesses with hard timeouts: the
         # remote-TPU tunnel on this machine can wedge mid-compile, and a
-        # hung probe must not take the whole benchmark down with it.
-        def probe(cmd, timeout):
-            out = subprocess.run(cmd, capture_output=True, text=True,
-                                 timeout=timeout)
+        # hung probe must not take the whole benchmark down with it. Each
+        # probe's timeout is additionally clamped to the remaining budget,
+        # and probes are skipped outright (with a recorded reason) once
+        # the budget is too thin for a realistic compile+run.
+        def probe(cmd, cap, min_s=90.0):
+            t = min(cap, remaining() - 10.0)
+            if t < min_s:
+                return None, f"skipped: {remaining():.0f}s budget left"
+            try:
+                out = subprocess.run(cmd, capture_output=True, text=True,
+                                     timeout=t)
+            except subprocess.TimeoutExpired:
+                return None, f"timeout after {t:.0f}s"
             line = out.stdout.strip().splitlines()[-1] if out.stdout else ""
-            return json.loads(line) if line.startswith("{") else None
+            if line.startswith("{"):
+                return json.loads(line), None
+            return None, (out.stderr.strip().splitlines() or ["no output"])[-1][-120:]
 
+        # Probe 1 (headline kernel number): device-resident English,
+        # capacity sized to the corpus (cap 4.0 — the 945.55 MB/s/chip
+        # configuration of artifacts/tpu_validation.json). A too-dense
+        # window flags overflow and fails match_host, so a wrong cap
+        # invalidates the number, never the ids.
+        r, err = probe([sys.executable, __file__, "--backend",
+                        "tpu-resident", "--cap-bpp", "4.0"], 420)
+        if r and r["detail"].get("match_host"):
+            detail["tpu_kernel_mbps"] = r["value"]
+            detail["tpu_kernel"] = r["detail"]
+        else:
+            detail["tpu_resident_error"] = err or "ids mismatched host oracle"
+        # Probe 2: worst-case-safe capacity arm (3.0 B/piece); best
+        # verified arm wins the tpu_kernel_mbps field.
+        r, err = probe([sys.executable, __file__, "--backend",
+                        "tpu-resident"], 360)
+        if r and r["detail"].get("match_host"):
+            if r["value"] > detail.get("tpu_kernel_mbps", 0.0):
+                detail["tpu_kernel_mbps"] = r["value"]
+                detail["tpu_kernel"] = r["detail"]
+            detail["tpu_kernel_mbps_cap3"] = r["value"]
+        else:
+            detail["tpu_cap3_error"] = err or "ids mismatched host oracle"
+        detail["elapsed_s"] = round(time.perf_counter() - t_start, 1)
+        emit(host_mbps, {"winner": "host",
+                         "tpu_probes": "pending (enriched line follows)"})
+        # Probe 3: non-ASCII arm — the reference emoji conformance corpus
+        # through the general resident path (VERDICT r2 item 3), bit-exact
+        r, err = probe([sys.executable, __file__, "--backend",
+                        "tpu-resident", "--corpus", "emoji"], 420)
+        if r and r["detail"].get("match_host"):
+            detail["tpu_kernel_mbps_nonascii"] = r["value"]
+            detail["tpu_kernel_nonascii"] = {
+                k: r["detail"][k] for k in
+                ("device_ms", "impl", "stage_us", "total_tokens",
+                 "cap_bpp") if k in r["detail"]
+            }
+        else:
+            detail["tpu_nonascii_error"] = err or "ids mismatched host oracle"
+        # Probe 4: second-vocab arm — Tekken stand-in, nocontract profile
+        r, err = probe([sys.executable, __file__, "--backend",
+                        "tpu-resident", "--tokenizer", "mistral"], 360)
+        if r and r["detail"].get("match_host"):
+            detail["tpu_kernel_mbps_tekken"] = r["value"]
+        else:
+            detail["tpu_tekken_error"] = err or "ids mismatched host oracle"
+        # Probe 5 (lowest value on this rig — the tunnel caps it at
+        # single-digit MB/s): public-API encode_batch through the device
+        # stream path, transfer-inclusive.
         tpu_mbps = 0.0
-        try:
-            r = probe([sys.executable, __file__, "--backend", "tpu",
-                       "--mb", str(min(args.mb, 2.0)), "--runs", "1",
-                       "--chunk-kb", str(args.chunk_kb)], 420)
-            tpu_mbps = float(r["value"]) if r else 0.0
+        r, err = probe([sys.executable, __file__, "--backend", "tpu",
+                        "--mb", str(min(args.mb, 2.0)), "--runs", "1",
+                        "--chunk-kb", str(args.chunk_kb)], 300)
+        if r:
+            tpu_mbps = float(r["value"])
             detail["tpu_mbps"] = round(tpu_mbps, 2)
-        except Exception as e:  # noqa: BLE001 - no accelerator / hang / error
-            detail["tpu_error"] = str(e)[:120]
-        # device-resident kernel throughput (data staged on device once;
-        # excludes the tunnel). Two arms: worst-case piece capacity
-        # (3.0 B/piece, safe for any corpus) and sized-to-corpus (4.0,
-        # fits English; a too-dense window would flag overflow and fail
-        # match_host, invalidating the number). Best verified arm wins.
-        try:
-            best_res = None
-            for extra in ([], ["--cap-bpp", "4.0"]):
-                r = probe([sys.executable, __file__,
-                           "--backend", "tpu-resident", *extra], 900)
-                if (r and r["detail"].get("match_host")
-                        and (best_res is None
-                             or r["value"] > best_res["value"])):
-                    best_res = r
-            if best_res:
-                detail["tpu_kernel_mbps"] = best_res["value"]
-                detail["tpu_kernel"] = best_res["detail"]
-        except Exception as e:  # noqa: BLE001
-            detail["tpu_resident_error"] = str(e)[:120]
-        # non-ASCII arm: the reference emoji conformance corpus through
-        # the general resident path (VERDICT r2 item 3), bit-exact
-        try:
-            r = probe([sys.executable, __file__, "--backend",
-                       "tpu-resident", "--corpus", "emoji"], 1200)
-            if r and r["detail"].get("match_host"):
-                detail["tpu_kernel_mbps_nonascii"] = r["value"]
-                detail["tpu_kernel_nonascii"] = {
-                    k: r["detail"][k] for k in
-                    ("device_ms", "impl", "stage_us", "total_tokens",
-                     "cap_bpp") if k in r["detail"]
-                }
-        except Exception as e:  # noqa: BLE001
-            detail["tpu_nonascii_error"] = str(e)[:120]
-        # second-vocab arm: Tekken stand-in config, nocontract profile
-        try:
-            r = probe([sys.executable, __file__, "--backend",
-                       "tpu-resident", "--tokenizer", "mistral"], 1200)
-            if r and r["detail"].get("match_host"):
-                detail["tpu_kernel_mbps_tekken"] = r["value"]
-        except Exception as e:  # noqa: BLE001
-            detail["tpu_tekken_error"] = str(e)[:120]
+        else:
+            detail["tpu_error"] = err
+
         best = max(host_mbps, tpu_mbps)
         detail["winner"] = "tpu" if tpu_mbps > host_mbps else "host"
-    else:
-        tok, name = load_tokenizer(args.backend)
-        best = _measure(tok, chunks, n_bytes, args.runs, args.threads)
-        detail["backend"] = args.backend
+        detail["elapsed_s"] = round(time.perf_counter() - t_start, 1)
+        emit(best, {})
+        return
 
+    tok, name = load_tokenizer(args.backend)
+    best = _measure(tok, chunks, n_bytes, args.runs, args.threads)
+    detail["backend"] = args.backend
     print(
         json.dumps(
             {

@@ -362,6 +362,18 @@ class Tokenizer:
         except Exception as e:  # noqa: BLE001
             raise TokenDaggerError(f"Encoding failed: {e}") from e
 
+    @staticmethod
+    def _effective_threads(num_threads: int) -> int:
+        """Worker count capped at the machine's core count: thread
+        oversubscription measurably regresses this workload (docs/PERF.md
+        "16->32-thread regression" — the GIL-free OpenMP encode loses up
+        to 66% under 8x oversubscription, and no path here can gain from
+        more threads than cores). Values below the core count are honored
+        as given."""
+        import os
+
+        return max(1, min(num_threads, os.cpu_count() or num_threads))
+
     def encode_batch(
         self,
         text: Sequence[str],
@@ -373,7 +385,9 @@ class Tokenizer:
         """Batch encode. On the TPU backend the whole batch is tokenized in
         one fused device pipeline (the analogue of the reference's
         ThreadPoolExecutor fan-out, wrapper.py:212-235); ``num_threads`` is
-        honored on the host path."""
+        honored on the host path (capped at the core count, see
+        :meth:`_effective_threads`)."""
+        num_threads = self._effective_threads(num_threads)
         allowed, disallowed = self._resolve_special(allowed_special, disallowed_special)
         for t in text:
             self._check_disallowed(t, disallowed)
@@ -485,6 +499,7 @@ class Tokenizer:
     ) -> list[np.ndarray]:
         """Batch encode returning numpy int arrays (framework-native API;
         avoids the Python-list materialization cost of ``encode_batch``)."""
+        num_threads = self._effective_threads(num_threads)
         allowed, disallowed = self._resolve_special(allowed_special, disallowed_special)
         for t in text:
             self._check_disallowed(t, disallowed)
@@ -519,14 +534,14 @@ class Tokenizer:
         errors: str = "replace",
     ) -> list[str]:
         decoder = functools.partial(self.decode, errors=errors)
-        with ThreadPoolExecutor(num_threads) as e:
+        with ThreadPoolExecutor(self._effective_threads(num_threads)) as e:
             return list(e.map(decoder, tokens))
 
     def decode_bytes_batch(
         self, tokens: Sequence[Sequence[int]], *, num_threads: int = 8
     ) -> list[bytes]:
         """tiktoken-compatible batch of :meth:`decode_bytes`."""
-        with ThreadPoolExecutor(num_threads) as e:
+        with ThreadPoolExecutor(self._effective_threads(num_threads)) as e:
             return list(e.map(self.decode_bytes, tokens))
 
     def encode_to_numpy(
