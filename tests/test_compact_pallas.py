@@ -121,3 +121,80 @@ def test_starts_packed_out_matches_unpacked():
     )
     unp = jax.vmap(unpack_mask)(packed)
     assert np.array_equal(np.asarray(plain), np.asarray(unp))
+
+
+def test_tiles_masked_matches_numpy_compaction():
+    """compact_tiles_masked + degap_record == stable numpy compaction
+    (the wedge-free decomposition of compact_by_mask, VERDICT r3 #2)."""
+    from tokendagger_tpu.ops.compact_pallas import (
+        compact_tiles_masked, degap_record,
+    )
+
+    rng = np.random.default_rng(7)
+    B, N = 2, 1 << 16          # G = 2 tiles of 32768
+    C = 1 << 15                # out_cap < N: live counts stay below it
+    vals = rng.integers(0, 1 << 21, (B, N)).astype(np.int32)
+    mask = rng.random((B, N)) < 0.4
+    mask[1, : N // 2] = False  # heavily skewed tile occupancy
+
+    gapped, cnts, takes = compact_tiles_masked(
+        [jnp.asarray(vals)], jnp.asarray(mask), out_cap=C, interpret=True,
+    )
+    (dense,), _ = degap_record(
+        list(gapped), cnts, p_rows=C // 128, interpret=True,
+    )
+    dense = np.asarray(dense).reshape(B, C)
+    assert np.array_equal(
+        np.asarray(cnts).sum(axis=1), mask.sum(axis=1)
+    )
+    for b in range(B):
+        want = vals[b][mask[b]]
+        assert np.array_equal(dense[b, : len(want)], want), b
+
+
+def test_expand_starts_replay_matches_semantics():
+    """Recorded-route expansion: byte flag j == lead[j] &
+    starts_char[rank(j)] — vs direct numpy, over random UTF-8-like
+    lead masks and random char flags."""
+    from tokendagger_tpu.ops.pretokenize import (
+        expand_starts_replay, utf8_decode_tiles,
+    )
+
+    rng = np.random.default_rng(8)
+    B, N = 2, 1 << 16
+    C = 1 << 15
+    # synthesize windows with mixed 1..4-byte sequences
+    data = np.zeros((B, N), np.uint8)
+    for b in range(B):
+        i = 0
+        while i < N:
+            w = rng.choice([1, 2, 3, 4, 4])  # ~2.8 B/char: chars < C
+            w = min(w, N - i)
+            s = {1: "a", 2: "é", 3: "€", 4: "🙂"}.get(w, "a").encode()
+            data[b, i : i + len(s)] = np.frombuffer(s, np.uint8)
+            i += len(s)
+    nbytes = np.array([N, N - 7], np.int32)
+    # char-align window 1's trimmed tail like resident.py does
+    while nbytes[1] > 0 and (data[1, nbytes[1] - 1] & 0xC0) == 0xC0:
+        nbytes[1] -= 1
+
+    cp, lead, n_chars, route = utf8_decode_tiles(
+        jnp.asarray(data), jnp.asarray(nbytes), c_cap=C, interpret=True,
+    )
+    lead_np = np.asarray(lead)
+    nch = np.asarray(n_chars)
+    assert (nch <= C).all()
+    flags = rng.random((B, C)) < 0.3
+    flags[:, 0] = True
+    got = np.asarray(expand_starts_replay(
+        jnp.asarray(flags), lead, route, interpret=True,
+    ))
+    for b in range(B):
+        want = np.zeros(N, bool)
+        ranks = np.flatnonzero(lead_np[b])
+        want[ranks] = flags[b, : len(ranks)]
+        assert np.array_equal(got[b], want), b
+        # and the decoded codepoints match a straight python decode
+        txt = bytes(data[b, : nbytes[b]]).decode("utf-8")
+        want_cp = np.array([ord(c) for c in txt], np.int32)
+        assert np.array_equal(np.asarray(cp)[b, : len(want_cp)], want_cp), b

@@ -411,6 +411,348 @@ def degap(
     return outs
 
 
+def _butterfly_takes(arrays, disp, n: int, max_disp: int):
+    """:func:`_butterfly` that also records each round's take mask: bit b
+    of ``tk[j]`` = "slot j took from slot j + 2^b at round b". The
+    recorded masks make the movement exactly invertible by
+    :func:`_replay_inverted` — the wedge-free route used by the general
+    (non-ASCII) pipeline's char->byte flag expansion."""
+    tk = jnp.zeros(disp.shape, jnp.int32)
+    bit = 0
+    while (1 << bit) < max_disp:
+        k = 1 << bit
+        sd = _roll_raster(disp, n - k)   # sd[j] = disp[j + k]
+        m = ((sd >> bit) & 1) == 1
+        arrays = [jnp.where(m, _roll_raster(a, n - k), a) for a in arrays]
+        tk = tk | (m.astype(jnp.int32) << bit)
+        disp = jnp.where(m, sd, disp)
+        bit += 1
+    return arrays, tk
+
+
+def _replay_inverted(y, tk, max_disp: int):
+    """Invert a recorded butterfly (static rolls, MSB->LSB): wherever
+    ``tk[j - 2^b]`` has bit b ("j-k took from j"), put the value back at
+    j. Exact for every live element (collision-freedom of monotone
+    displacements); garbage lands only on slots the live routing never
+    targeted, which the caller's final select clears."""
+    nbits = max(1, (max_disp - 1).bit_length())
+    for bit in reversed(range(nbits)):
+        k = 1 << bit
+        mk = ((_roll_raster(tk, k) >> bit) & 1) == 1  # mk[j] = tk[j-k] b
+        y = jnp.where(mk, _roll_raster(y, k), y)
+    return y
+
+
+def compact_tiles_masked(
+    arrays: list,            # list of (B, N) int32 value arrays
+    mask: jnp.ndarray,       # (B, N) bool/uint8 keep mask (stream order)
+    *,
+    out_cap: int,
+    tile_rows: int = 256,
+    interpret: bool = False,
+):
+    """Generic tile-phase stable compaction (the wedge-free decomposition
+    of :func:`compact_by_mask` for full-window sizes): grid (B, G), each
+    (R, 128) tile compacts its kept elements to the tile front in VMEM
+    (static butterfly rounds) and DMAs the tile to the output at its
+    window's running row offset. Returns (gapped arrays
+    [(B, OutRows, L)], cnts (B, G), takes (B, G*R, L)); pair with
+    :func:`degap_record` for the dense prefix. ``takes`` records each
+    tile's butterfly rounds for exact inverse replay
+    (:func:`expand_tiles_replay`).
+
+    Rationale: one full-window butterfly at N ~ 2^20 is a Mosaic
+    compile-time wedge on this machine's remote runtime (both the
+    unrolled ~40-round stack and the while_loop/dynamic-roll form,
+    docs/PERF.md); this two-phase form keeps every program at the
+    (R, L)-tile scale the ASCII path already compiles and runs at
+    945 MB/s/chip."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N = mask.shape
+    R, L = tile_rows, LANES
+    blk = R * L
+    assert N % blk == 0, (N, blk)
+    G = N // blk
+    out_rows = -(-out_cap // L) + G + R
+    nv = len(arrays)
+    mask_i = mask.astype(jnp.uint8).reshape(B, G * R, L)
+
+    def kern(m_ref, *rest):
+        in_refs = rest[:nv]
+        out_refs = rest[nv : 2 * nv]
+        cnt_ref = rest[2 * nv]
+        tk_ref = rest[2 * nv + 1]
+        scratch = rest[2 * nv + 2 : 2 * nv + 2 + nv]
+        sems = rest[-2]
+        carry = rest[-1]
+        b = pl.program_id(0)
+        g = pl.program_id(1)
+        row_off = jnp.where(g == 0, 0, carry[0])
+
+        live = m_ref[0] != 0
+        live_i = live.astype(jnp.int32)
+        incl = _raster_incl_sum(live_i)
+        cnt = incl[R - 1, L - 1]
+        pos = incl - live_i
+        row = _iota2((R, L), 0)
+        col = _iota2((R, L), 1)
+        lidx = row * L + col
+        disp = jnp.where(live, lidx - pos, 0)
+        vals, tk = _butterfly_takes(
+            [r[0] for r in in_refs], disp, blk, blk
+        )
+        tk_ref[0] = tk
+
+        safe_off = jnp.minimum(row_off, out_rows - R)
+        copies = []
+        for i in range(nv):
+            scratch[i][...] = vals[i]
+            c = pltpu.make_async_copy(
+                scratch[i],
+                out_refs[i].at[b, pl.ds(safe_off, R), :],
+                sems.at[i],
+            )
+            c.start()
+            copies.append(c)
+        for c in copies:
+            c.wait()
+        cnt_ref[b * G + g] = cnt
+        carry[0] = safe_off + (cnt + (L - 1)) // L
+
+    tile = pl.BlockSpec((1, R, L), lambda b, g: (b, g, 0))
+    out = pl.pallas_call(
+        kern,
+        grid=(B, G),
+        in_specs=[tile] * (1 + nv),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nv + [
+            pl.BlockSpec((B * G,), lambda b, g: (0,),
+                         memory_space=pltpu.SMEM),
+            tile,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, out_rows, L), jnp.int32)
+            for _ in range(nv)
+        ] + [
+            jax.ShapeDtypeStruct((B * G,), jnp.int32),
+            jax.ShapeDtypeStruct((B, G * R, L), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((R, L), jnp.int32) for _ in range(nv)]
+        + [pltpu.SemaphoreType.DMA((nv,)), pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+    )(mask_i, *[a.reshape(B, G * R, L) for a in arrays])
+    return out[:nv], out[nv].reshape(B, G), out[nv + 1]
+
+
+def _degap_geometry(cnts, out_rows: int):
+    """Row geometry shared by :func:`degap` and its take-recording /
+    replay variants: per-window live totals and the (B, OutRows, L)
+    gapped live mask, from the per-tile counts (row math on tiny
+    arrays, in XLA)."""
+    B, G = cnts.shape
+    L = LANES
+    rpt = (cnts + (L - 1)) // L
+    offs, acc = [], jnp.zeros((B,), jnp.int32)
+    for g in range(G):
+        offs.append(acc)
+        acc = acc + rpt[:, g]
+    off_rows = jnp.stack(offs, axis=1)
+    total = jnp.sum(cnts, axis=1).astype(jnp.int32)
+    rowi = jnp.arange(out_rows, dtype=jnp.int32)[None, :]
+    lo_row = jnp.zeros((B, out_rows), jnp.int32)
+    c_row = jnp.zeros((B, out_rows), jnp.int32)
+    has = jnp.zeros((B, out_rows), jnp.bool_)
+    for g in range(G):
+        m = (rowi >= off_rows[:, g : g + 1]) & (
+            rowi < off_rows[:, g : g + 1] + rpt[:, g : g + 1]
+        )
+        lo_row = jnp.where(m, off_rows[:, g : g + 1] * L, lo_row)
+        c_row = jnp.where(m, cnts[:, g : g + 1], c_row)
+        has = has | m
+    lane = jnp.arange(L, dtype=jnp.int32)
+    dlt = rowi * L - lo_row
+    live_u8 = (
+        has[..., None] & (dlt[..., None] + lane < c_row[..., None])
+    ).astype(jnp.uint8)
+    return total, off_rows, live_u8
+
+
+def degap_record(
+    arrays: list,            # list of (B, OutRows, L) int32 gapped arrays
+    cnts: jnp.ndarray,       # (B, G) int32 per-tile live counts
+    *,
+    p_rows: int,
+    interpret: bool = False,
+    fill: int = 0,
+):
+    """:func:`degap` that also records its butterfly take masks (one
+    int32 (B, OutRows, L) array) so the movement can be inverted by
+    :func:`regap_replay`. Returns (dense arrays [(B, p_rows, L)],
+    takes)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, out_rows, L = arrays[0].shape
+    G = cnts.shape[1]
+    n = out_rows * L
+    max_disp = G * L
+    total, _, live_u8 = _degap_geometry(cnts, out_rows)
+    nv = len(arrays)
+
+    def kern(tot_ref, live_ref, *rest):
+        in_refs = rest[:nv]
+        out_refs = rest[nv : 2 * nv]
+        tk_ref = rest[-1]
+        b = pl.program_id(0)
+        row = _iota2((out_rows, L), 0)
+        col = _iota2((out_rows, L), 1)
+        lidx = row * L + col
+        live = live_ref[0] != 0
+        live_i = live.astype(jnp.int32)
+        incl = _raster_incl_sum(live_i)
+        pos = incl - live_i
+        disp = jnp.where(live, lidx - pos, 0)
+        vals, tk = _butterfly_takes(
+            [r[0] for r in in_refs], disp, n, max_disp
+        )
+        tk_ref[0] = tk
+        keep = lidx < tot_ref[b]
+        for oref, v in zip(out_refs, vals):
+            oref[0] = jnp.where(keep, v, jnp.int32(fill))[:p_rows, :]
+
+    tile_in = pl.BlockSpec((1, out_rows, L), lambda b: (b, 0, 0))
+    tile_out = pl.BlockSpec((1, p_rows, L), lambda b: (b, 0, 0))
+    out = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((B,), lambda b: (0,), memory_space=pltpu.SMEM),
+            tile_in,
+        ] + [tile_in] * nv,
+        out_specs=[tile_out] * nv + [tile_in],
+        out_shape=[jax.ShapeDtypeStruct((B, p_rows, L), jnp.int32)] * nv
+        + [jax.ShapeDtypeStruct((B, out_rows, L), jnp.int32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(total, live_u8, *arrays)
+    return out[:nv], out[nv]
+
+
+def regap_replay(
+    dense: jnp.ndarray,      # (B, p_rows*L) int32 values in dense prefix
+    takes: jnp.ndarray,      # (B, OutRows, L) from degap_record
+    max_disp: int,           # must equal degap_record's bound (G * LANES)
+    *,
+    interpret: bool = False,
+):
+    """Inverse of the recorded degap: distribute a dense live-prefix back
+    to its gapped (row-quantized per-tile) positions by inverted replay
+    of the recorded rounds — all static rolls. Garbage lands only on
+    never-routed slots (cleared downstream). ``max_disp`` fixes the round
+    count and must match the recording pass."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, out_rows, L = takes.shape
+    p_rows = dense.shape[1] // L
+
+    def kern(v_ref, tk_ref, o_ref):
+        y = jnp.concatenate(
+            [v_ref[0],
+             jnp.zeros((out_rows - p_rows, L), jnp.int32)], axis=0
+        )
+        o_ref[0] = _replay_inverted(y, tk_ref[0], max_disp)
+
+    tile_d = pl.BlockSpec((1, p_rows, L), lambda b: (b, 0, 0))
+    tile_g = pl.BlockSpec((1, out_rows, L), lambda b: (b, 0, 0))
+    return pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[tile_d, tile_g],
+        out_specs=tile_g,
+        out_shape=jax.ShapeDtypeStruct((B, out_rows, L), jnp.int32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(dense.reshape(B, p_rows, L), takes)
+
+
+def expand_tiles_replay(
+    gapped: jnp.ndarray,     # (B, OutRows, L) int32 values at gapped slots
+    lead: jnp.ndarray,       # (B, N) bool/uint8 destination mask
+    tile_takes: jnp.ndarray,  # (B, G*R, L) from compact_tiles_masked
+    cnts: jnp.ndarray,       # (B, G) per-tile live counts
+    *,
+    tile_rows: int = 256,
+    interpret: bool = False,
+):
+    """Per-tile inverse replay: tile g DMAs its char rows from the gapped
+    array at its (dynamic) row offset, replays the recorded tile
+    butterfly inverted (static rolls), and keeps values only on ``lead``
+    slots — yielding (B, N) int32 values distributed to the masked byte
+    positions. Phase 2 of the wedge-free expand."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, out_rows, L = gapped.shape
+    _, N = lead.shape
+    R = tile_rows
+    blk = R * L
+    G = N // blk
+    assert N % blk == 0 and cnts.shape == (B, G), (N, blk, cnts.shape)
+    rpt = (cnts + (L - 1)) // L
+    offs, acc = [], jnp.zeros((B,), jnp.int32)
+    for g in range(G):
+        offs.append(acc)
+        acc = acc + rpt[:, g]
+    off_flat = jnp.stack(offs, axis=1).reshape(B * G)
+    lead_i = lead.astype(jnp.uint8).reshape(B, G * R, L)
+
+    def kern(off_ref, gap_ref, m_ref, tk_ref, o_ref, scratch, sem):
+        b = pl.program_id(0)
+        g = pl.program_id(1)
+        row_off = jnp.minimum(off_ref[b * G + g], out_rows - R)
+        c = pltpu.make_async_copy(
+            gap_ref.at[b, pl.ds(row_off, R), :], scratch, sem,
+        )
+        c.start()
+        c.wait()
+        y = _replay_inverted(scratch[...], tk_ref[0], blk)
+        o_ref[0] = jnp.where(m_ref[0] != 0, y, jnp.int32(0))
+
+    tile = pl.BlockSpec((1, R, L), lambda b, g: (b, g, 0))
+    out = pl.pallas_call(
+        kern,
+        grid=(B, G),
+        in_specs=[
+            pl.BlockSpec((B * G,), lambda b, g: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            tile,
+            tile,
+        ],
+        out_specs=tile,
+        out_shape=jax.ShapeDtypeStruct((B, G * R, L), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((R, L), jnp.int32),
+                        pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+    )(off_flat, gapped, lead_i, tile_takes)
+    return out.reshape(B, N)
+
+
 def compact_by_mask(
     arrays: list,            # list of (B, P) int32 arrays (P % 128 == 0)
     mask: jnp.ndarray,       # (B, P) bool: elements to keep, stream order

@@ -559,6 +559,105 @@ def utf8_decode_butterfly(
     return cp, lead, n_chars
 
 
+def _utf8_codepoints_at_leads(data, nbytes):
+    """Per-byte codepoint decode (value valid at lead bytes) + lead mask;
+    shared by the butterfly and tiles decode forms."""
+    B, N = data.shape
+    idx = jnp.arange(N, dtype=jnp.int32)[None, :]
+    valid = idx < nbytes[:, None]
+    b = data.astype(jnp.int32)
+    is_cont = (b & 0xC0) == 0x80
+    lead = (~is_cont) & valid
+
+    def sh(a, k):
+        return jnp.concatenate(
+            [a[:, k:], jnp.zeros((B, k), a.dtype)], axis=1
+        )
+
+    b1, b2, b3 = sh(b, 1), sh(b, 2), sh(b, 3)
+    cp2 = ((b & 0x1F) << 6) | (b1 & 0x3F)
+    cp3 = ((b & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F)
+    cp4 = (
+        ((b & 0x07) << 18) | ((b1 & 0x3F) << 12) | ((b2 & 0x3F) << 6)
+        | (b3 & 0x3F)
+    )
+    cp_at = jnp.where(
+        b < 0x80, b,
+        jnp.where(b < 0xE0, cp2, jnp.where(b < 0xF0, cp3, cp4)),
+    )
+    return jnp.clip(cp_at, 0, 0x10FFFF), lead
+
+
+def utf8_decode_tiles(
+    data: jnp.ndarray,       # (B, N) uint8 batched windows
+    nbytes: jnp.ndarray,     # (B,) int32
+    *,
+    c_cap: int | None = None,
+    tile_rows: int = 256,
+    interpret: bool = False,
+):
+    """General UTF-8 decode with the codepoint compaction done by the
+    TILED butterfly (compact_tiles_masked + degap_record) instead of one
+    full-window kernel — every Pallas program stays at the (256, 128)
+    tile / degap scale the ASCII flagship path already compiles on the
+    live chip, removing the N ~ 2^20 Mosaic compile wedge that kept the
+    non-ASCII path off the TPU in round 3 (VERDICT item 2).
+
+    Returns (cp (B, C) int32 dense prefix, lead (B, N) bool, n_chars
+    (B,), route) where ``route = (tile_takes, degap_takes, cnts,
+    max_disp)`` records the exact byte->char routing for
+    :func:`expand_starts_replay` (char->byte flag expansion by inverse
+    replay — no scatters, no dynamic rolls)."""
+    from .compact_pallas import (
+        LANES, compact_tiles_masked, degap_record,
+    )
+
+    B, N = data.shape
+    C = c_cap or N
+    assert C % LANES == 0, C
+    cp_at, lead = _utf8_codepoints_at_leads(data, nbytes)
+    n_chars = jnp.sum(lead.astype(jnp.int32), axis=1)
+    gapped, cnts, tile_takes = compact_tiles_masked(
+        [cp_at], lead, out_cap=C, tile_rows=tile_rows,
+        interpret=interpret,
+    )
+    (cp_d,), degap_takes = degap_record(
+        list(gapped), cnts, p_rows=C // LANES, interpret=interpret,
+    )
+    live = jnp.arange(C, dtype=jnp.int32)[None, :] < n_chars[:, None]
+    cp = jnp.where(live, cp_d.reshape(B, C), 0)
+    return cp, lead, n_chars, (tile_takes, degap_takes, cnts)
+
+
+def expand_starts_replay(
+    starts_char: jnp.ndarray,  # (B, C) bool char-level piece-start flags
+    lead: jnp.ndarray,         # (B, N) bool lead-byte mask
+    route,                     # from utf8_decode_tiles
+    *,
+    tile_rows: int = 256,
+    interpret: bool = False,
+):
+    """Char->byte piece-start flag expansion by exact inverse replay of
+    the decode's recorded compaction: regap the dense char flags to the
+    gapped per-tile layout (static-roll replay of the degap takes), then
+    per-tile inverse replay of the tile takes with a dynamic-offset DMA.
+    Byte j's flag = lead[j] & starts_char[rank(j)] — identical semantics
+    to ops.compact_pallas.expand_by_mask, with every program at a
+    proven-compiling shape."""
+    from .compact_pallas import LANES, expand_tiles_replay, regap_replay
+
+    tile_takes, degap_takes, cnts = route
+    gapped_flags = regap_replay(
+        starts_char.astype(jnp.int32), degap_takes,
+        cnts.shape[1] * LANES, interpret=interpret,
+    )
+    flags_b = expand_tiles_replay(
+        gapped_flags, lead, tile_takes, cnts,
+        tile_rows=tile_rows, interpret=interpret,
+    )
+    return flags_b != 0
+
+
 def starts_to_bytes(
     starts_char: jnp.ndarray,   # (N,) bool char-level piece-start flags
     char_of_byte: jnp.ndarray,  # (N,) int32 byte -> char index

@@ -337,24 +337,19 @@ def run_resident(
                             c_cap = cand
                             break
 
-                    from .ops.compact_pallas import expand_by_mask
-
+                    # wedge-free general decode/expand (VERDICT r3 item
+                    # 2): tiled compaction with recorded take-masks +
+                    # static-roll inverse replay — no full-window
+                    # butterfly programs (docs/PERF.md compile wedge)
                     def dec_general_stage(devs, nbs):
-                        return PT.utf8_decode_butterfly(
+                        return PT.utf8_decode_tiles(
                             devs, nbs, c_cap=c_cap, interpret=interp_s,
                         )
 
-                    def expand_stage(starts_char, lead):
-                        b_ = starts_char.shape[0]
-                        sc = jnp.concatenate(
-                            [starts_char.astype(jnp.int32),
-                             jnp.zeros((b_, N - c_cap), jnp.int32)],
-                            axis=1,
+                    def expand_stage(starts_char, lead, route):
+                        return PT.expand_starts_replay(
+                            starts_char, lead, route, interpret=interp_s,
                         )
-                        (st_b,) = expand_by_mask(
-                            [sc], lead, interpret=interp_s,
-                        )
-                        return st_b != 0
 
                     v_dec_g = jax.jit(dec_general_stage)
                     v_expand = jax.jit(expand_stage)
@@ -423,9 +418,9 @@ def run_resident(
 
         if impl == "general":
             def pipeline_b(devs, nbs):
-                cp, lead, m = v_dec_g(devs, nbs)
+                cp, lead, m, route = v_dec_g(devs, nbs)
                 starts_c = v_starts(cp, m)
-                st_b = v_expand(starts_c, lead)
+                st_b = v_expand(starts_c, lead, route)
                 sb, pl, k0, k1, k2, k3, npc = v_compact(
                     st_b, None, None, devs, nbs
                 )
