@@ -58,6 +58,8 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=25)
     ap.add_argument("--backend", default="host", choices=["auto", "host", "tpu"])
     ap.add_argument("--root", default=str(REPO))
+    ap.add_argument("--output", default=None,
+                    help="also write a JSON summary artifact")
     args = ap.parse_args()
 
     import tiktoken
@@ -115,6 +117,26 @@ def main() -> int:
     print(f"\noverall: {total_tk / total_ours:.2f}x faster on code "
           f"({total_bytes / 1e6 / total_ours:.1f} MB/s vs "
           f"{total_bytes / 1e6 / total_tk:.1f} MB/s)")
+    if args.output:
+        import json
+
+        Path(args.output).write_text(json.dumps({
+            "warmup": args.warmup, "runs": args.runs,
+            "total_bytes": total_bytes,
+            "overall_speedup_vs_tiktoken": round(total_tk / total_ours, 2),
+            "ours_mb_per_s": round(total_bytes / 1e6 / total_ours, 1),
+            "tiktoken_mb_per_s": round(total_bytes / 1e6 / total_tk, 1),
+            "by_ext_mean": {
+                e: round(statistics.mean(s), 2)
+                for e, s in sorted(by_ext.items())
+            },
+            "by_bucket_mean": {
+                b: round(statistics.mean(s), 2)
+                for b, s in sorted(by_bucket.items())
+            },
+            "exactness": "every file asserted id-identical to tiktoken",
+        }, indent=2))
+        print(f"wrote {args.output}")
     return 0
 
 

@@ -85,6 +85,9 @@ def main() -> int:
                     help="2 warmup / 10 runs (reference :641-643)")
     ap.add_argument("--backend", default="host",
                     choices=["auto", "host", "tpu"])
+    ap.add_argument("--output", default=None,
+                    help="also write a JSON summary artifact (per-category "
+                         "mean speedups + overall avg/median)")
     args = ap.parse_args()
     if args.quick:
         args.warmup, args.runs = 2, 10
@@ -113,6 +116,7 @@ def main() -> int:
                                mergeable_ranks=ranks, special_tokens=specials)
 
     speedups = []
+    by_cat: dict[str, list[float]] = {}
     print(f"{'category':<20} {'len':>8} {'ours µs':>10} {'tiktoken µs':>12} "
           f"{'speedup':>8} {'tok/s':>12}")
     for cat, texts in build_cases().items():
@@ -126,12 +130,25 @@ def main() -> int:
             )
             sp = t_tk / t_ours if t_ours > 0 else float("inf")
             speedups.append(sp)
+            by_cat.setdefault(cat, []).append(sp)
             tps = n_tok / t_ours if t_ours > 0 else 0
             print(f"{cat:<20} {len(text):>8} {t_ours * 1e6:>10.1f} "
                   f"{t_tk * 1e6:>12.1f} {sp:>7.2f}x {tps:>12.0f}")
 
-    print(f"\naverage speedup: {statistics.mean(speedups):.2f}x   "
-          f"median: {statistics.median(speedups):.2f}x")
+    avg, med = statistics.mean(speedups), statistics.median(speedups)
+    print(f"\naverage speedup: {avg:.2f}x   median: {med:.2f}x")
+    if args.output:
+        Path(args.output).write_text(json.dumps({
+            "tokenizer": args.tokenizer,
+            "warmup": args.warmup, "runs": args.runs,
+            "avg_speedup_vs_tiktoken": round(avg, 2),
+            "median_speedup_vs_tiktoken": round(med, 2),
+            "by_category_mean": {
+                c: round(statistics.mean(s), 2) for c, s in by_cat.items()
+            },
+            "exactness": "every case asserted id-identical to tiktoken",
+        }, indent=2))
+        print(f"wrote {args.output}")
     return 0
 
 
