@@ -145,6 +145,11 @@ def device_resident_main(args) -> None:
         probe_impl=args.probe_impl,
         cap_bytes_per_piece=args.cap_bpp,
         profile=profile,
+        # the H2D/compute overlap walls are corpus-agnostic: measure them
+        # on the flagship English arm only; the secondary arms (emoji /
+        # tekken) skip the ~2-4 min of degraded-mode tunnel staging
+        overlap_trial=(args.corpus == "english"
+                       and args.tokenizer == "llama"),
     )
     print(json.dumps({
         "metric": f"tpu_kernel_throughput_{args.tokenizer}_{args.corpus}",
@@ -370,9 +375,14 @@ def main() -> None:
         emit(host_mbps, {"winner": "host",
                          "tpu_probes": "pending (enriched line follows)"})
         # Probe 3: non-ASCII arm — the reference emoji conformance corpus
-        # through the general resident path (VERDICT r2 item 3), bit-exact
+        # through the general resident path (VERDICT r2 item 3), bit-exact.
+        # cap 6.0 B/piece: emoji runs ~9.8 B/piece (619k tokens but only
+        # ~107k PIECES per MB), so the worst-case 3.0 default would pay
+        # 2x piece-slot gathers for nothing; a too-tight cap flags
+        # overflow and fails match_host, never corrupts ids.
         r, err = probe([sys.executable, __file__, "--backend",
-                        "tpu-resident", "--corpus", "emoji"], 420)
+                        "tpu-resident", "--corpus", "emoji",
+                        "--cap-bpp", "6.0"], 420)
         if r and r["detail"].get("match_host"):
             detail["tpu_kernel_mbps_nonascii"] = r["value"]
             detail["tpu_kernel_nonascii"] = {

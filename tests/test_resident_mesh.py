@@ -62,6 +62,7 @@ def test_sharded_pipeline_bit_exact(setup, corpus_lorem):
     assert int(total_tokens) == int(np.asarray(n_kept).sum())
 
     host = HostEngine(LLAMA4_PATTERN, ranks, specials)
+    rdict = dict(ranks)
     for b in range(B):
         ids = np.asarray(flat[b][: int(n_kept[b])])
         window_b = bytes(wins[b, : nbs[b]])
@@ -73,10 +74,10 @@ def test_sharded_pipeline_bit_exact(setup, corpus_lorem):
             for j, p in enumerate(np.nonzero(ids == SENTINEL)[0]):
                 parts.append(ids[prev:p])
                 piece = window_b[int(sp_s[j]) : int(sp_s[j]) + int(sp_l[j])]
-                r = ranks.get(piece)
+                r = rdict.get(piece)
                 parts.append(np.asarray(
                     [r] if r is not None
-                    else byte_pair_merge(piece, dict(ranks)),
+                    else byte_pair_merge(piece, rdict),
                     dtype=ids.dtype,
                 ))
                 prev = p + 1

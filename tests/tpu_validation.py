@@ -113,7 +113,8 @@ def main() -> int:
                                   "test_resident_batched.py)"}
         return not require_match
 
-    ok &= probe_arm("resident_nonascii", ["--corpus", "emoji"], 2400)
+    ok &= probe_arm("resident_nonascii",
+                    ["--corpus", "emoji", "--cap-bpp", "6.0"], 2400)
     ok &= probe_arm("resident_cap3", [], 900)   # worst-case-safe capacity
     ok &= probe_arm("resident_tekken", ["--tokenizer", "mistral"], 1200)
 

@@ -330,10 +330,17 @@ def run_resident(
                     # char-capacity routing: chars were counted on the
                     # host at staging, so multi-byte-heavy windows run a
                     # program whose char-indexed stages (class gather,
-                    # bit planes) cover N/4 or N/2 slots instead of N
+                    # bit planes) cover a fraction of N slots. The class
+                    # row-gather is issue-bound (491 Mrows/s) and pays
+                    # per SLOT, so capacity slack is wall time: the
+                    # emoji corpus at N/2 measured starts = 11.3 ms of
+                    # 23.0 total; 5N/16 fits its 283k chars/window with
+                    # 14% slack instead of 85%. Candidates stay multiples
+                    # of 4096 (bitplane tile constraint).
                     c_cap = N
-                    for cand in (N // 4, N // 2):
-                        if max_chars <= cand:
+                    for cand in (N // 4, 5 * N // 16, 3 * N // 8,
+                                 N // 2, 5 * N // 8, 3 * N // 4):
+                        if cand % 4096 == 0 and max_chars <= cand:
                             c_cap = cand
                             break
 
@@ -557,32 +564,40 @@ def run_resident(
 
         host = HostEngine(pattern, ranks, specials)
 
+        rdict = dict(ranks)
+
         def check_one(out, dev, nb):
             if bool(out[5]):
                 return False  # capacity overflow: window must fall back
             ids = np.asarray(out[0][: int(out[1])])
             window_b = bytes(np.asarray(dev[: int(nb)]))
             n_sp = int(out[8])
-            if n_sp:  # splice host-merged miss/oversize spans (piece order)
-                sp_s = np.asarray(out[6])
-                sp_l = np.asarray(out[7])
-                parts, prev = [], 0
-                for j, p in enumerate(np.nonzero(ids == SENTINEL)[0]):
-                    parts.append(ids[prev:p])
-                    piece = window_b[
-                        int(sp_s[j]) : int(sp_s[j]) + int(sp_l[j])
-                    ]
-                    r = ranks.get(piece)  # oracle: whole-piece lookup first
-                    parts.append(np.asarray(
-                        [r] if r is not None
-                        else byte_pair_merge(piece, dict(ranks)),
-                        dtype=ids.dtype,
-                    ))
+            if n_sp:
+                # splice host-merged miss/oversize spans (piece order).
+                # List-based: miss-heavy corpora (emoji runs ~50-100k
+                # misses per 1 MB window) made the old per-miss
+                # np.concatenate splice the slowest phase of the whole
+                # benchmark (minutes per batch, measured 2026-08-20).
+                sp_s = np.asarray(out[6]).tolist()
+                sp_l = np.asarray(out[7]).tolist()
+                idl = ids.tolist()
+                spliced: list[int] = []
+                prev = 0
+                for j, p in enumerate(np.nonzero(ids == SENTINEL)[0].tolist()):
+                    spliced.extend(idl[prev:p])
+                    piece = window_b[sp_s[j] : sp_s[j] + sp_l[j]]
+                    r = rdict.get(piece)  # oracle: whole-piece lookup first
+                    if r is not None:
+                        spliced.append(r)
+                    else:
+                        spliced.extend(byte_pair_merge(piece, rdict))
                     prev = p + 1
-                parts.append(ids[prev:])
-                ids = np.concatenate(parts)
+                spliced.extend(idl[prev:])
+                got = spliced
+            else:
+                got = ids.tolist()
             want = host.encode_ordinary(window_b.decode("utf-8"))
-            return ids.tolist() == want
+            return got == want
 
         if batch > 1:
             out = pipeline_b(stk_dev, stk_nb)
