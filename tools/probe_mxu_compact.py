@@ -176,7 +176,15 @@ def main() -> int:
             # for the shared degap afterwards). ONE shared (R, R)
             # one-hot permutation matmul per half-word array.
             nz = (cnts > 0).astype(jnp.int32)
-            dst = jnp.cumsum(nz) - nz
+            # exclusive prefix over R=256 0/1 entries via MXU tri-matmul
+            # (cumsum has no Pallas TPU lowering; sums <= 256 are exact
+            # in bf16 x bf16 -> f32)
+            triR = (_iota2((R, R), 0) < _iota2((R, R), 1)).astype(
+                jnp.bfloat16)
+            dst = jnp.dot(
+                nz.astype(jnp.bfloat16).reshape(1, R), triR,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32).reshape(R)
             oh = ((dst[None, :] == _iota2((R, R), 0)) &
                   (nz[None, :] != 0)).astype(jnp.bfloat16)
             packed = []
