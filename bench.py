@@ -193,11 +193,13 @@ def main() -> None:
                          "static 16-span slicing, fastest measured; "
                          "chunked = live-prefix while_loop, loses to its "
                          "own per-iteration overhead on v5e)")
-    ap.add_argument("--cap-bpp", type=float, default=3.0,
+    ap.add_argument("--cap-bpp", default="3.0",
                     help="tpu-resident piece-slot sizing in bytes/piece "
                          "(3.0 = worst-case-safe; 4.0 fits English and "
-                         "runs leaner; a too-tight cap flags overflow "
-                         "and invalidates the run, never the ids)")
+                         "runs leaner; 'auto' = exact host piece count "
+                         "at staging picks the leanest safe cap; a "
+                         "too-tight cap flags overflow and invalidates "
+                         "the run, never the ids)")
     ap.add_argument("--threads", type=int,
                     default=min(32, os.cpu_count() or 8))
     ap.add_argument("--corpus", default="english",
@@ -209,6 +211,8 @@ def main() -> None:
                     help="tpu-resident vocab (mistral = Tekken stand-in, "
                          "nocontract scanner profile)")
     args = ap.parse_args()
+    args.cap_bpp = (0.0 if str(args.cap_bpp) == "auto"
+                    else float(args.cap_bpp))
     if args.mb is None:
         # reference protocol default is 1 GB; 256 MB keeps a full best-mode
         # run (host sweep + tpu probes) inside the driver budget
@@ -349,12 +353,13 @@ def main() -> None:
             return None, (out.stderr.strip().splitlines() or ["no output"])[-1][-120:]
 
         # Probe 1 (headline kernel number): device-resident English,
-        # capacity sized to the corpus (cap 4.0 — the 945.55 MB/s/chip
+        # capacity auto-sized from the exact host piece count at staging
+        # (resolves to cap 4.0 for this corpus — the 945.55 MB/s/chip
         # configuration of artifacts/tpu_validation.json). A too-dense
         # window flags overflow and fails match_host, so a wrong cap
         # invalidates the number, never the ids.
         r, err = probe([sys.executable, __file__, "--backend",
-                        "tpu-resident", "--cap-bpp", "4.0"], 420)
+                        "tpu-resident", "--cap-bpp", "auto"], 420)
         if r and r["detail"].get("match_host"):
             detail["tpu_kernel_mbps"] = r["value"]
             detail["tpu_kernel"] = r["detail"]

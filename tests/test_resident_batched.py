@@ -89,3 +89,23 @@ def test_batched_general_nonascii_matches_host(llama4_assets):
                             probe_impl="chunks", overlap_trial=False)
         assert res2.impl == "general"
         assert res2.match_host
+
+
+def test_auto_cap_resolution(llama4_assets):
+    """cap_bytes_per_piece=0 (auto) sizes the piece capacity from the
+    exact host piece count and stays bit-exact."""
+    from tokendagger_tpu.ops.fused import caps_for
+    from tokendagger_tpu.resident import run_resident
+
+    pattern, ranks, specials = llama4_assets
+    lor = pathlib.Path("/root/reference/tests/input/lorem.txt")
+    if not lor.exists():
+        pytest.skip("lorem corpus unavailable")
+    corpus = (lor.read_bytes() * 10)[: 1 << 18]
+    res = run_resident(ranks, specials, pattern, corpus,
+                       window=1 << 16, n_windows=2, reps=1, batch=2,
+                       cap_bytes_per_piece=0, overlap_trial=False)
+    assert res.match_host
+    assert res.cap_bpp in (8.0, 6.0, 4.0, 3.0, 2.0, 1.0)
+    # the resolved cap must actually cover the windows (no overflow path)
+    assert caps_for(1 << 16, bytes_per_piece=res.cap_bpp)["p_cap"] > 0

@@ -127,45 +127,12 @@ def run_resident(
     vhash_rows = jnp.asarray(tables.vhash8_rows)
     if miss_mode != "host":
         probe_impl = "barrier"  # resolve_window hardcodes vocab_probe8
-    # "chunked": transposed probe over the LIVE prefix only (while_loop
-    # over chunks — gather cost scales with actual pieces, not capacity);
-    # "transposed": gathered rows materialized as (48, P) so compares run
-    # full-lane (2.1x the barrier form, measured — ops/join.vocab_probe8t);
-    # "barrier": (P, 48) materialization + slice compares
-    if probe_impl == "chunks":
-        # static span slicing, no control flow: ~31% over monolithic.
-        # The sweet spot is shape-dependent (chip sweeps, 8 windows:
-        # p_cap 349568 -> 16 chunks 6.17 ms (32 -> 6.42, 64 -> 6.28);
-        # p_cap 262144 -> 64 chunks 4.65 ms (32 -> 4.93, 16 -> 6.40;
-        # 96-256 flat or worse for much longer compiles);
-        # results/probe_chunks_sweep*.log + tools/sweep_compact.py)
-        p_cap_probe = caps_for(window,
-                               bytes_per_piece=cap_bytes_per_piece)["p_cap"]
-        n_chunks = 16 if p_cap_probe > 300_000 else 64
-
-        def probe_fn(k0, k1, k2, k3, pl, npc):
-            return vocab_probe8t_chunks(k0, k1, k2, k3, pl,
-                                        vhash_rows, tables.vhash8_mask,
-                                        n_chunks=n_chunks)
-    elif probe_impl == "chunked":
-        def probe_fn(k0, k1, k2, k3, pl, npc):
-            return vocab_probe8t_chunked(k0, k1, k2, k3, pl, npc,
-                                         vhash_rows, tables.vhash8_mask)
-    elif probe_impl == "transposed":
-        def probe_fn(k0, k1, k2, k3, pl, npc):
-            return vocab_probe8t(k0, k1, k2, k3, pl, vhash_rows,
-                                 tables.vhash8_mask)
-    else:
-        def probe_fn(k0, k1, k2, k3, pl, npc):
-            return vocab_probe8(k0, k1, k2, k3, pl, vhash_rows,
-                                tables.vhash8_mask)
 
     N = window
-    caps = caps_for(N, bytes_per_piece=cap_bytes_per_piece)
-    p_cap = caps["p_cap"]
     mask = tables.pair.mask
 
     wins = []
+    win_bytes: list[bytes] = []
     all_ascii = True
     max_chars = 0
     for w in range(n_windows):
@@ -193,7 +160,64 @@ def run_resident(
         buf[: len(arr)] = arr
         all_ascii = all_ascii and not (buf & 0x80).any()
         max_chars = max(max_chars, int(((arr & 0xC0) != 0x80).sum()))
+        win_bytes.append(arr.tobytes())
         wins.append((jnp.asarray(buf), jnp.int32(len(arr))))
+
+    if not cap_bytes_per_piece:
+        # auto piece capacity: exact host piece count per window (the
+        # scanners are bit-identical, so the count is the truth), then
+        # the LARGEST cap (fewest slots) whose p_cap covers every window
+        # with 2% headroom. Every piece-indexed stage (probe gathers,
+        # degap, finalize) pays per SLOT, so oversized capacity is pure
+        # wall time: English ~4.45 B/piece wastes 26% at the worst-case
+        # 3.0, emoji ~9.8 wastes 3.2x (docs/PERF.md).
+        from .hostengine import HostEngine
+
+        h_sizer = HostEngine(pattern, ranks, specials)
+        max_pieces = max(
+            (len(h_sizer.split_spans(b.decode("utf-8"))) for b in win_bytes),
+            default=1,
+        )
+        cap_bytes_per_piece = 1.0
+        for cand in (8.0, 6.0, 4.0, 3.0, 2.0):
+            if (caps_for(N, bytes_per_piece=cand)["p_cap"]
+                    >= max_pieces * 1.02 + 8):
+                cap_bytes_per_piece = cand
+                break
+    caps = caps_for(N, bytes_per_piece=cap_bytes_per_piece)
+    p_cap = caps["p_cap"]
+
+    # "chunks": static span slicing, no control flow: ~31% over monolithic.
+    # The sweet spot is shape-dependent (chip sweeps, 8 windows:
+    # p_cap 349568 -> 16 chunks 6.17 ms (32 -> 6.42, 64 -> 6.28);
+    # p_cap 262144 -> 64 chunks 4.65 ms (32 -> 4.93, 16 -> 6.40;
+    # 96-256 flat or worse for much longer compiles);
+    # results/probe_chunks_sweep*.log + tools/sweep_compact.py)
+    # "chunked": transposed probe over the LIVE prefix only (while_loop
+    # over chunks — gather cost scales with actual pieces, not capacity);
+    # "transposed": gathered rows materialized as (48, P) so compares run
+    # full-lane (2.1x the barrier form, measured — ops/join.vocab_probe8t);
+    # "barrier": (P, 48) materialization + slice compares
+    if probe_impl == "chunks":
+        n_chunks = 16 if p_cap > 300_000 else 64
+
+        def probe_fn(k0, k1, k2, k3, pl, npc):
+            return vocab_probe8t_chunks(k0, k1, k2, k3, pl,
+                                        vhash_rows, tables.vhash8_mask,
+                                        n_chunks=n_chunks)
+    elif probe_impl == "chunked":
+        def probe_fn(k0, k1, k2, k3, pl, npc):
+            return vocab_probe8t_chunked(k0, k1, k2, k3, pl, npc,
+                                         vhash_rows, tables.vhash8_mask)
+    elif probe_impl == "transposed":
+        def probe_fn(k0, k1, k2, k3, pl, npc):
+            return vocab_probe8t(k0, k1, k2, k3, pl, vhash_rows,
+                                 tables.vhash8_mask)
+    else:
+        def probe_fn(k0, k1, k2, k3, pl, npc):
+            return vocab_probe8(k0, k1, k2, k3, pl, vhash_rows,
+                                tables.vhash8_mask)
+
     if impl == "auto":
         # char==byte shortcut when every window is ASCII; otherwise the
         # butterfly general path in batch mode (sorts/scatters are
