@@ -13,16 +13,19 @@ from pathlib import Path
 # Must run before jax initializes its backends. NOTE: the env var alone is
 # NOT reliable on this machine — the axon TPU plugin overrides it — so we
 # import jax here and force the platform through the config API.
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# TD_REAL_BACKEND=1 skips the pin: scripts that import helpers from this
+# module (tests/scaling_test.py --real) set it to keep the real chip.
+if not os.environ.get("TD_REAL_BACKEND"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
-import jax  # noqa: E402
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))

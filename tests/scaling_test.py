@@ -30,6 +30,13 @@ def main() -> int:
     ap.add_argument("--output", default=None)
     args = ap.parse_args()
 
+    import os
+
+    if args.real:
+        # keep the real accelerator: tests.conftest (imported below for
+        # make_tiny_vocab) pins jax to CPU unless this is set
+        os.environ["TD_REAL_BACKEND"] = "1"
+
     import jax
 
     if not args.real:

@@ -848,109 +848,6 @@ def compact_by_mask(
     return [o.reshape(B, P) for o in outs]
 
 
-def expand_by_mask(
-    arrays: list,            # list of (B, P) int32, values in live-prefix
-    mask: jnp.ndarray,       # (B, P) bool: destination positions
-    *,
-    interpret: bool = False,
-    fill: int = 0,
-):
-    """Inverse of :func:`compact_by_mask`: distribute a live-prefix back
-    to its masked positions — ``out[i] = arr[rank(i)]`` where ``mask[i]``
-    and ``rank(i) = #mask[<i]``; other slots get ``fill``.
-
-    Exact inverse of the forward butterfly, by replay: a displacement-only
-    forward pass records each round's take mask (bit b of one int32
-    ``tk`` array = "slot j took from j + 2^b at round b"), then the value
-    array replays those rounds INVERTED, MSB->LSB: ``y[j] = y[j - 2^b]``
-    wherever ``tk[j - 2^b]`` has bit b — undoing "j-k took from j" by
-    putting the value back at j. Correct for every live element because
-    the forward pass is (collision-freedom of monotone displacements):
-    an element either moved left (its destination's take bit is set) or
-    kept its slot (no one took it); garbage lands only on non-masked
-    slots, which the final select fills.
-
-    Used by the general (non-ASCII) resident pipeline to turn char-level
-    piece-start flags back into byte-level flags without the
-    scatter/sort lowerings that poison this runtime's dispatch
-    (docs/PERF.md).
-
-    Both passes run as in-kernel ``while_loop``s with dynamic rolls: the
-    statically unrolled ~2*log2(P) round stack was a Mosaic compile-time
-    wedge at P ~ 2^20 on this machine's remote runtime, and the dynamic
-    form also stops at the ACTUAL max displacement (skipped high rounds
-    are exact no-ops: no take bit is ever set there)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    B, P = mask.shape
-    L = LANES
-    assert P % L == 0, P
-    rows = P // L
-    n = P
-    mask_i = mask.astype(jnp.uint8).reshape(B, rows, L)
-
-    def run(val):
-        def kern(m_ref, v_ref, o_ref):
-            live = m_ref[0] != 0
-            live_i = live.astype(jnp.int32)
-            incl = _raster_incl_sum(live_i)
-            pos = incl - live_i
-            row = _iota2((rows, L), 0)
-            col = _iota2((rows, L), 1)
-            lidx = row * L + col
-            disp = jnp.where(live, lidx - pos, 0)
-            maxd = jnp.max(disp)
-
-            # forward displacement-only pass, recording take masks
-            def cond_f(st):
-                return (jnp.int32(1) << st[0]) <= maxd
-
-            def body_f(st):
-                bit, d, tk = st
-                k = jnp.int32(1) << bit
-                sd = _roll_raster_dyn(d, n - k)  # sd[j] = d[j + k]
-                mm = ((sd >> bit) & 1) == 1
-                tk = tk | (mm.astype(jnp.int32) << bit)
-                d = jnp.where(mm, sd, d)
-                return bit + 1, d, tk
-
-            nbits, _, tk = jax.lax.while_loop(
-                cond_f, body_f,
-                (jnp.int32(0), disp, jnp.zeros((rows, L), jnp.int32)),
-            )
-
-            # inverted replay on the values, MSB -> LSB
-            def cond_r(st):
-                return st[0] >= 0
-
-            def body_r(st):
-                bit, y = st
-                k = jnp.int32(1) << bit
-                mk = ((_roll_raster_dyn(tk, k) >> bit) & 1) == 1
-                y = jnp.where(mk, _roll_raster_dyn(y, k), y)
-                return bit - 1, y
-
-            _, y = jax.lax.while_loop(cond_r, body_r, (nbits - 1, v_ref[0]))
-            o_ref[0] = jnp.where(live, y, jnp.int32(fill))
-
-        tile = pl.BlockSpec((1, rows, L), lambda b: (b, 0, 0))
-        return pl.pallas_call(
-            kern,
-            grid=(B,),
-            in_specs=[tile, tile],
-            out_specs=tile,
-            out_shape=jax.ShapeDtypeStruct((B, rows, L), jnp.int32),
-            interpret=interpret,
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
-                vmem_limit_bytes=100 * 1024 * 1024,
-            ),
-        )(mask_i, val.reshape(B, rows, L)).reshape(B, P)
-
-    return [run(a) for a in arrays]
-
-
 @partial(
     jax.jit,
     static_argnames=("p_cap", "tile_rows", "interpret", "packed"),

@@ -505,60 +505,6 @@ def utf8_decode_sorted(data: jnp.ndarray, nbytes: jnp.ndarray):
     return cp, char_of_byte, byte_of_char, n_chars
 
 
-def utf8_decode_butterfly(
-    data: jnp.ndarray,       # (B, N) uint8 batched windows
-    nbytes: jnp.ndarray,     # (B,) int32
-    *,
-    c_cap: int | None = None,
-    interpret: bool = False,
-):
-    """General UTF-8 decode for batched windows with the codepoint
-    compaction done by the displacement mask butterfly
-    (ops/compact_pallas.compact_by_mask) — the chip-safe general decode:
-    scatter lowerings and ``lax.sort`` both poison this runtime's
-    dispatch (docs/PERF.md), and the prefix sum runs INSIDE the Pallas
-    kernel so no standalone XLA cumsum appears either.
-
-    ``c_cap`` statically bounds chars per window (host-routed: the host
-    counts lead bytes while staging, so multi-byte-heavy windows run a
-    program with char arrays of N/2 or N/4 slots — every char-indexed
-    stage downstream scales with it). Returns
-    (cp (B, C) int32, lead (B, N) bool lead-byte mask,
-    n_chars (B,) int32)."""
-    from .compact_pallas import compact_by_mask
-
-    B, N = data.shape
-    C = c_cap or N
-    idx = jnp.arange(N, dtype=jnp.int32)[None, :]
-    valid = idx < nbytes[:, None]
-    b = data.astype(jnp.int32)
-    is_cont = (b & 0xC0) == 0x80
-    lead = (~is_cont) & valid
-
-    def sh(a, k):
-        return jnp.concatenate(
-            [a[:, k:], jnp.zeros((B, k), a.dtype)], axis=1
-        )
-
-    b1, b2, b3 = sh(b, 1), sh(b, 2), sh(b, 3)
-    cp2 = ((b & 0x1F) << 6) | (b1 & 0x3F)
-    cp3 = ((b & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F)
-    cp4 = (
-        ((b & 0x07) << 18) | ((b1 & 0x3F) << 12) | ((b2 & 0x3F) << 6)
-        | (b3 & 0x3F)
-    )
-    cp_at = jnp.where(
-        b < 0x80, b,
-        jnp.where(b < 0xE0, cp2, jnp.where(b < 0xF0, cp3, cp4)),
-    )
-    cp_at = jnp.clip(cp_at, 0, 0x10FFFF)
-    n_chars = jnp.sum(lead.astype(jnp.int32), axis=1)
-    (cp_c,) = compact_by_mask([cp_at], lead, interpret=interpret)
-    live = jnp.arange(C, dtype=jnp.int32)[None, :] < n_chars[:, None]
-    cp = jnp.where(live, cp_c[:, :C], 0)
-    return cp, lead, n_chars
-
-
 def _utf8_codepoints_at_leads(data, nbytes):
     """Per-byte codepoint decode (value valid at lead bytes) + lead mask;
     shared by the butterfly and tiles decode forms."""
