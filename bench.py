@@ -147,8 +147,9 @@ def device_resident_main(args) -> None:
         profile=profile,
         # the H2D/compute overlap walls are corpus-agnostic: measure them
         # on the flagship English arm only; the secondary arms (emoji /
-        # tekken) skip the ~2-4 min of degraded-mode tunnel staging
-        overlap_trial=(args.corpus == "english"
+        # tekken / cap-3.0) skip the ~2-4 min of degraded-mode tunnel
+        # staging
+        overlap_trial=(not args.no_overlap and args.corpus == "english"
                        and args.tokenizer == "llama"),
     )
     print(json.dumps({
@@ -202,6 +203,10 @@ def main() -> None:
                          "the run, never the ids)")
     ap.add_argument("--threads", type=int,
                     default=min(32, os.cpu_count() or 8))
+    ap.add_argument("--no-overlap", action="store_true",
+                    help="tpu-resident: skip the H2D/compute overlap "
+                         "trial (it costs minutes of degraded-mode "
+                         "tunnel staging; the headline probe keeps it)")
     ap.add_argument("--corpus", default="english",
                     choices=["english", "emoji"],
                     help="tpu-resident corpus (emoji = the reference's "
@@ -368,7 +373,7 @@ def main() -> None:
         # Probe 2: worst-case-safe capacity arm (3.0 B/piece); best
         # verified arm wins the tpu_kernel_mbps field.
         r, err = probe([sys.executable, __file__, "--backend",
-                        "tpu-resident"], 360)
+                        "tpu-resident", "--no-overlap"], 360)
         if r and r["detail"].get("match_host"):
             if r["value"] > detail.get("tpu_kernel_mbps", 0.0):
                 detail["tpu_kernel_mbps"] = r["value"]
@@ -397,6 +402,9 @@ def main() -> None:
             }
         else:
             detail["tpu_nonascii_error"] = err or "ids mismatched host oracle"
+        detail["elapsed_s"] = round(time.perf_counter() - t_start, 1)
+        emit(host_mbps, {"winner": "host",
+                         "tpu_probes": "pending (enriched line follows)"})
         # Probe 4: second-vocab arm — Tekken stand-in, nocontract profile
         r, err = probe([sys.executable, __file__, "--backend",
                         "tpu-resident", "--tokenizer", "mistral"], 360)
