@@ -106,6 +106,7 @@ def test_auto_cap_resolution(llama4_assets):
                        window=1 << 16, n_windows=2, reps=1, batch=2,
                        cap_bytes_per_piece=0, overlap_trial=False)
     assert res.match_host
-    assert res.cap_bpp in (8.0, 6.0, 4.0, 3.0, 2.0, 1.0)
+    assert res.cap_bpp in (8.0, 6.0, 5.0, 4.5, 4.2, 4.0, 3.5, 3.0,
+                           2.5, 2.0, 1.5, 1.0)
     # the resolved cap must actually cover the windows (no overflow path)
     assert caps_for(1 << 16, bytes_per_piece=res.cap_bpp)["p_cap"] > 0

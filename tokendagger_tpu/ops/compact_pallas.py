@@ -165,7 +165,7 @@ def _butterfly_packed(arrays, n: int, *, disp_shift: int,
 
 def compact_tiles(
     starts: jnp.ndarray,     # (B, N) uint8/int32 0/1 live mask (byte-level)
-    words: tuple,            # 4x (B, N) int32 key words (bitcast uint32)
+    word0: jnp.ndarray,      # (B, N) int32 w0 (join.sliding_word0 bits)
     nbytes: jnp.ndarray,     # (B,) int32
     *,
     p_cap: int,
@@ -177,6 +177,12 @@ def compact_tiles(
     (B, OutRows, L) arrays [gidx, w0, w4, w8, w12] + (B, G) tile counts.
     OutRows = ceil(p_cap/L) + G + tile_rows slack rows; regions are in
     stream order at row-quantized offsets (cumsum(ceil(cnt/L))).
+
+    Only w0 is materialized in HBM: the shifted words w4/w8/w12 are
+    w0 rolled by 4/8/12 slots, derived IN-KERNEL with a one-row halo
+    from the next tile (3 raster rolls + tail blends per tile) — the
+    3 full-window int32 arrays the old form round-tripped through HBM
+    (~192 MB per 8 MB dispatch) never exist.
 
     packed: ``starts`` is (B, N/32) uint32 plane-major words (the
     bitplane pack_mask layout). Requires N == 32*blk, in which case tile
@@ -198,8 +204,7 @@ def compact_tiles(
     out_rows = -(-p_cap // L) + G + R
     n_vals = 5
 
-    def kern(nb_ref, st_ref, w0_ref, w1_ref, w2_ref, w3_ref,
-             *rest):
+    def kern(nb_ref, st_ref, w0_ref, halo_ref, *rest):
         out_refs = rest[:n_vals]
         cnt_ref = rest[n_vals]
         scratch = rest[n_vals + 1 : n_vals + 1 + n_vals]
@@ -228,7 +233,23 @@ def compact_tiles(
         # one int32 (disp high, lidx low) so the butterfly moves 5 arrays
         # instead of 6
         dl = (jnp.where(live, lidx - pos, 0) << 16) | lidx
-        vals = [dl, w0_ref[0], w1_ref[0], w2_ref[0], w3_ref[0]]
+        # derive w4/w8/w12 from w0: raster roll left by k, last-row tail
+        # filled from the next tile's first row (zeros past the last
+        # tile — sliding_word0 zero-fills beyond nbytes, matching
+        # sliding_words' word_at(k) zero pad exactly)
+        w0t = w0_ref[0]
+        # halo block is 8 rows (Mosaic's minimum sublane tile); only its
+        # first row — the next tile's first w0 row — is used
+        halo = jnp.where(g == G - 1, 0, halo_ref[0][0:1, :])  # (1, L)
+        halo_b = jnp.broadcast_to(halo, (R, L))
+        last_row = row == R - 1
+
+        def wshift(k: int):
+            rolled = _roll_raster(w0t, blk - k)
+            hr = _roll_raster_axis1(halo_b, L - k)  # hr[c] = halo[c+k-L]
+            return jnp.where(last_row & (col >= L - k), hr, rolled)
+
+        vals = [dl, w0t, wshift(4), wshift(8), wshift(12)]
         vals = _butterfly_packed(vals, blk, disp_shift=16)
         vals[0] = g * blk + (vals[0] & 0xFFFF)
 
@@ -255,13 +276,21 @@ def compact_tiles(
     st_spec = (
         pl.BlockSpec((1, R, L), lambda b, g: (b, 0, 0)) if packed else tile
     )
+    # next tile's first w0 rows (8-row block: Mosaic requires the
+    # second-to-last block dim divisible by 8; clamped at the end, and
+    # the kernel zeroes it for the last tile)
+    halo_spec = pl.BlockSpec(
+        (1, 8, L),
+        lambda b, g: (b, jnp.minimum((g + 1) * (R // 8),
+                                     G * (R // 8) - 1), 0),
+    )
     out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec((B,), lambda b, g: (0,),
                          memory_space=pltpu.SMEM),
-        ] + [st_spec] + [tile] * 4,
+        ] + [st_spec, tile, halo_spec],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_vals)
         ] + [
@@ -283,7 +312,8 @@ def compact_tiles(
     )(
         nbytes,
         starts.reshape(B, R, L) if packed else starts.reshape(B, G * R, L),
-        *[w.reshape(B, G * R, L) for w in words],
+        word0.reshape(B, G * R, L),
+        word0.reshape(B, G * R, L),
     )
     return out[:n_vals], out[n_vals].reshape(B, G)
 
@@ -582,6 +612,92 @@ def _degap_geometry(cnts, out_rows: int):
     return total, off_rows, live_u8
 
 
+def degap_keys(
+    arrays: list,            # 5x (B, OutRows, L) int32 gapped [dl, w0..w12]
+    cnts: jnp.ndarray,       # (B, G) int32 per-tile live counts
+    nbytes: jnp.ndarray,     # (B,) int32
+    *,
+    p_rows: int,
+    p_cap: int,
+    first_bits: int,
+    interpret: bool = False,
+):
+    """:func:`degap` specialized for the piece-key pipeline, with the
+    piece-geometry epilogue FUSED into the kernel: after the bounded
+    butterfly, the same VMEM-resident values yield start_b (dead slots
+    = nbytes), piece_len (next-start diff; the last live slot ends at
+    nbytes) and the 4 length-masked key words — the (B, p_pad) XLA
+    epilogue that round-tripped all five dense arrays through HBM is
+    gone. Returns (start_b, piece_len, k0..k3) as (B, p_rows, L) int32
+    (k words bit-identical to the uint32 forms)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, out_rows, L = arrays[0].shape
+    G = cnts.shape[1]
+    n = out_rows * L
+    max_disp = G * L
+    pack = first_bits + (max_disp - 1).bit_length() <= 32
+    total, _, live_u8 = _degap_geometry(cnts, out_rows)
+
+    def kern(tot_ref, nb_ref, live_ref, *rest):
+        in_refs = rest[:5]
+        out_refs = rest[5:]
+        b = pl.program_id(0)
+        row = _iota2((out_rows, L), 0)
+        col = _iota2((out_rows, L), 1)
+        lidx = row * L + col
+        live = live_ref[0] != 0
+        live_i = live.astype(jnp.int32)
+        incl = _raster_incl_sum(live_i)
+        pos = incl - live_i
+        disp = jnp.where(live, lidx - pos, 0)
+        vals = [r[0] for r in in_refs]
+        if pack:
+            vals[0] = (disp << first_bits) | vals[0]
+            vals = _butterfly_packed(
+                vals, n, disp_shift=first_bits, max_disp=max_disp
+            )
+            vals[0] = vals[0] & ((1 << first_bits) - 1)
+        else:
+            vals = _butterfly(vals, disp, n, max_disp=max_disp)
+        tot = tot_ref[b]
+        nb = nb_ref[b]
+        keep = (lidx < tot) & (lidx < p_cap)
+        start_b = jnp.where(keep, vals[0], nb)
+        nxt = _roll_raster(start_b, n - 1)       # nxt[j] = start_b[j+1]
+        end_b = jnp.where(lidx == tot - 1, nb, nxt)
+        plen = jnp.where(keep, end_b - start_b, 0)
+        out_refs[0][0] = start_b[:p_rows, :]
+        out_refs[1][0] = plen[:p_rows, :]
+        for j in range(4):
+            r4 = jnp.clip(plen - 4 * j, 0, 4)
+            m = jnp.where(
+                r4 >= 4, jnp.int32(-1),
+                (jnp.int32(1) << (8 * jnp.minimum(r4, 3))) - 1,
+            )
+            out_refs[2 + j][0] = (vals[1 + j] & m)[:p_rows, :]
+
+    tile_in = pl.BlockSpec((1, out_rows, L), lambda b: (b, 0, 0))
+    tile_out = pl.BlockSpec((1, p_rows, L), lambda b: (b, 0, 0))
+    return pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((B,), lambda b: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B,), lambda b: (0,), memory_space=pltpu.SMEM),
+            tile_in,
+        ] + [tile_in] * 5,
+        out_specs=[tile_out] * 6,
+        out_shape=[jax.ShapeDtypeStruct((B, p_rows, L), jnp.int32)] * 6,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(total, nbytes, live_u8, *arrays)
+
+
 def degap_record(
     arrays: list,            # list of (B, OutRows, L) int32 gapped arrays
     cnts: jnp.ndarray,       # (B, G) int32 per-tile live counts
@@ -870,60 +986,37 @@ def compact_piece_keys_butterfly(
     packed: ``starts_b`` is (B, N/32) uint32 plane-major words straight
     from piece_starts_bits_pallas(packed_out=True) — no unpack/repack
     round-trip (requires N == 32 * tile_rows * 128)."""
-    from .join import sliding_words
+    from .join import sliding_word0
 
     B, N = data.shape
     L = LANES
     p_rows = -(-p_cap // L)
     p_pad = p_rows * L
 
-    w = jax.vmap(sliding_words)(data, nbytes)
+    w0 = jax.vmap(sliding_word0)(data, nbytes).astype(jnp.int32)
     st = starts_b if packed else starts_b.astype(jnp.uint8)
     (gapped, cnts) = compact_tiles(
-        st, tuple(x.astype(jnp.int32) for x in w), nbytes,
+        st, w0, nbytes,
         p_cap=p_cap, tile_rows=tile_rows, interpret=interpret,
         packed=packed,
     )
-    dense = degap(
-        list(gapped), cnts, p_rows=p_rows, tile_rows=tile_rows,
+    outs = degap_keys(
+        list(gapped), cnts, nbytes, p_rows=p_rows, p_cap=p_cap,
         interpret=interpret,
         # gapped[0] carries byte indices < N: pack the degap displacement
-        # into its high bits when both fit one int32
+        # into its high bits (both always fit one int32 at these shapes)
         first_bits=max(1, (N - 1).bit_length()),
     )
     n_pieces = jnp.sum(cnts, axis=1)
-
-    pslot = jnp.arange(p_pad, dtype=jnp.int32)[None, :]
-    live = pslot < jnp.minimum(n_pieces, p_cap)[:, None]
-    start_b = jnp.where(
-        live, dense[0].reshape(B, p_pad), nbytes[:, None]
-    )
-    nxt = jnp.concatenate(
-        [start_b[:, 1:], jnp.zeros((B, 1), start_b.dtype)], axis=1
-    )
-    end_b = jnp.where(
-        pslot == (n_pieces - 1)[:, None], nbytes[:, None], nxt
-    )
-    piece_len = jnp.where(live, end_b - start_b, 0)
-
-    def mask_word(k, j):
-        r = jnp.clip(piece_len - 4 * j, 0, 4)
-        m = jnp.where(
-            r >= 4,
-            jnp.uint32(0xFFFFFFFF),
-            (jnp.uint32(1) << (jnp.uint32(8) * r.astype(jnp.uint32)))
-            - jnp.uint32(1),
-        )
-        return k.reshape(B, p_pad).astype(jnp.uint32) & m
-
-    k0 = mask_word(dense[1], 0)
-    k1 = mask_word(dense[2], 1)
-    k2 = mask_word(dense[3], 2)
-    k3 = mask_word(dense[4], 3)
+    start_b, piece_len = (o.reshape(B, p_pad) for o in outs[:2])
+    kw = [
+        jax.lax.bitcast_convert_type(o.reshape(B, p_pad), jnp.uint32)
+        for o in outs[2:]
+    ]
     out_slice = slice(None, p_cap)
     return (start_b[:, out_slice], piece_len[:, out_slice],
-            k0[:, out_slice], k1[:, out_slice], k2[:, out_slice],
-            k3[:, out_slice], n_pieces)
+            kw[0][:, out_slice], kw[1][:, out_slice], kw[2][:, out_slice],
+            kw[3][:, out_slice], n_pieces)
 
 
 @partial(jax.jit, static_argnames=("p_cap", "interpret"))

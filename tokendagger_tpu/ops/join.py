@@ -59,6 +59,22 @@ def sliding_words(data: jnp.ndarray, nbytes: jnp.ndarray) -> tuple[jnp.ndarray, 
     return word_at(0), word_at(4), word_at(8), word_at(12)
 
 
+def sliding_word0(data: jnp.ndarray, nbytes: jnp.ndarray) -> jnp.ndarray:
+    """Just ``sliding_words``' first array: w0[i] = bytes i..i+3 LE,
+    zero beyond ``nbytes``. The other three words are w0 shifted by
+    4/8/12 slots — compact_tiles derives them IN-KERNEL from this one
+    array (3 raster rolls + a halo row), so the 3x full-window int32
+    materializations never touch HBM."""
+    N = data.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    d = jnp.where(idx < nbytes, data, 0).astype(jnp.uint32)
+
+    def shifted(k: int) -> jnp.ndarray:
+        return jnp.concatenate([d[k:], jnp.zeros((k,), jnp.uint32)])
+
+    return d | (shifted(1) << 8) | (shifted(2) << 16) | (shifted(3) << 24)
+
+
 @partial(jax.jit, static_argnames=("p_cap",))
 def compact_piece_keys(
     starts_char: jnp.ndarray,   # (N,) bool: char-level piece-start flags

@@ -179,7 +179,8 @@ def run_resident(
             default=1,
         )
         cap_bytes_per_piece = 1.0
-        for cand in (8.0, 6.0, 4.0, 3.0, 2.0):
+        for cand in (8.0, 6.0, 5.0, 4.5, 4.2, 4.0, 3.5, 3.0, 2.5, 2.0,
+                     1.5):
             if (caps_for(N, bytes_per_piece=cand)["p_cap"]
                     >= max_pieces * 1.02 + 8):
                 cap_bytes_per_piece = cand
