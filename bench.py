@@ -386,13 +386,14 @@ def main() -> None:
                          "tpu_probes": "pending (enriched line follows)"})
         # Probe 3: non-ASCII arm — the reference emoji conformance corpus
         # through the general resident path (VERDICT r2 item 3), bit-exact.
-        # cap 6.0 B/piece: emoji runs ~9.8 B/piece (619k tokens but only
-        # ~107k PIECES per MB), so the worst-case 3.0 default would pay
-        # 2x piece-slot gathers for nothing; a too-tight cap flags
-        # overflow and fails match_host, never corrupts ids.
+        # auto capacity: emoji runs ~9.8 B/piece (619k tokens but only
+        # ~107k PIECES per MB) so auto resolves to cap 8.0 — the
+        # worst-case 3.0 default would pay 2.7x piece-slot gathers for
+        # nothing; a too-tight cap flags overflow and fails match_host,
+        # never corrupts ids.
         r, err = probe([sys.executable, __file__, "--backend",
                         "tpu-resident", "--corpus", "emoji",
-                        "--cap-bpp", "6.0"], 420)
+                        "--cap-bpp", "auto"], 420)
         if r and r["detail"].get("match_host"):
             detail["tpu_kernel_mbps_nonascii"] = r["value"]
             detail["tpu_kernel_nonascii"] = {

@@ -78,7 +78,7 @@ def main() -> int:
 
     res = run_resident(ranks, specials, vocab.LLAMA4_PATTERN,
                        make_corpus(1 << 23).encode(), window=1 << 20,
-                       reps=5, batch=8, cap_bytes_per_piece=4.0,
+                       reps=5, batch=8, cap_bytes_per_piece=0,  # auto
                        starts_impl="bits-pallas", compact_impl="butterfly",
                        probe_impl="chunks", overlap_trial=False)
     report["resident"] = res.to_dict()
@@ -114,7 +114,7 @@ def main() -> int:
         return not require_match
 
     ok &= probe_arm("resident_nonascii",
-                    ["--corpus", "emoji", "--cap-bpp", "6.0"], 2400)
+                    ["--corpus", "emoji", "--cap-bpp", "auto"], 2400)
     ok &= probe_arm("resident_cap3", [], 900)   # worst-case-safe capacity
     ok &= probe_arm("resident_tekken", ["--tokenizer", "mistral"], 1200)
 

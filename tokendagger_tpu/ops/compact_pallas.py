@@ -22,9 +22,10 @@ Two kernels:
   sequential grid). Output is therefore row-quantized: tile regions are
   dense, with < 128 dead slots between regions. Per-tile counts go to a
   (B, G) side output.
-* ``degap`` — grid (B,): removes the inter-tile gaps with one
-  full-window butterfly (the gapped arrays are ~N/3 and fit VMEM), one
-  value array per call to stay inside the 16 MB scoped-VMEM budget.
+* ``degap_keys`` — grid (B,): removes the inter-tile gaps with one
+  bounded full-window butterfly (the gapped arrays are ~N/3 and fit
+  VMEM) and computes the piece geometry (start_b, piece_len, masked key
+  words) from the same VMEM-resident values.
 
 Reference behavior being accelerated: the whole-piece fast path of
 /root/reference/src/tiktoken/tiktoken.cpp:210-215 needs each pretoken's
@@ -316,129 +317,6 @@ def compact_tiles(
         word0.reshape(B, G * R, L),
     )
     return out[:n_vals], out[n_vals].reshape(B, G)
-
-
-def degap(
-    arrays: list,            # list of (B, OutRows, L) int32 gapped arrays
-    cnts: jnp.ndarray,       # (B, G) int32 per-tile live counts
-    *,
-    p_rows: int,             # output rows (ceil(p_cap / L))
-    tile_rows: int = 256,
-    interpret: bool = False,
-    fill: int = 0,
-    group: int = 5,
-    first_bits: int = 0,     # significant bits of arrays[0]'s payload
-):
-    """Remove inter-tile gaps: one full-window butterfly per window.
-    ``group`` arrays share one pallas_call (one displacement scan for
-    all of them); the butterfly is bounded to the inter-tile garbage
-    (< G*L slots — each tile leaves < L dead slots — so ~12 rounds, not
-    log2(window)). Slots beyond the total live count are set to
-    ``fill``.
-
-    The live mask and totals are precomputed in XLA from the per-tile
-    counts (row-level math on (B, OutRows) — tiny), so the kernel does no
-    G-iteration region walk. If ``first_bits`` is given and
-    first_bits + ceil_log2(G*L) <= 32, the displacement is packed into
-    arrays[0]'s high bits (one fewer array through the butterfly)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    B, out_rows, L = arrays[0].shape
-    G = cnts.shape[1]
-    n = out_rows * L
-    # displacement bound: garbage before region g is sum of < L dead
-    # slots per earlier tile; clamped (overflowing) windows are flagged
-    # and discarded by the caller, so the bound only needs the
-    # non-overflow case
-    max_disp = G * L
-    pack = bool(first_bits) and (
-        first_bits + (max_disp - 1).bit_length() <= 32
-    )
-
-    # ---- region geometry in XLA (static G-step loop on (B,) vectors) ----
-    rpt = (cnts + (L - 1)) // L                  # rows per region (B, G)
-    offs, acc = [], jnp.zeros((B,), jnp.int32)
-    for g in range(G):
-        offs.append(acc)
-        acc = acc + rpt[:, g]
-    off_rows = jnp.stack(offs, axis=1)           # start row of region g
-    total = jnp.sum(cnts, axis=1).astype(jnp.int32)
-    rowi = jnp.arange(out_rows, dtype=jnp.int32)[None, :]
-    lo_row = jnp.zeros((B, out_rows), jnp.int32)  # region start slot
-    c_row = jnp.zeros((B, out_rows), jnp.int32)   # region live count
-    has = jnp.zeros((B, out_rows), jnp.bool_)
-    for g in range(G):
-        m = (rowi >= off_rows[:, g : g + 1]) & (
-            rowi < off_rows[:, g : g + 1] + rpt[:, g : g + 1]
-        )
-        lo_row = jnp.where(m, off_rows[:, g : g + 1] * L, lo_row)
-        c_row = jnp.where(m, cnts[:, g : g + 1], c_row)
-        has = has | m
-    lane = jnp.arange(L, dtype=jnp.int32)
-    dlt = rowi * L - lo_row                       # slot offset into region
-    live_u8 = (
-        has[..., None] & (dlt[..., None] + lane < c_row[..., None])
-    ).astype(jnp.uint8)
-
-    def run(group):
-        nv = len(group)
-
-        def kern(tot_ref, live_ref, *rest):
-            in_refs = rest[:nv]
-            out_refs = rest[nv : 2 * nv]
-            b = pl.program_id(0)
-            row = _iota2((out_rows, L), 0)
-            col = _iota2((out_rows, L), 1)
-            lidx = row * L + col
-            live = live_ref[0] != 0
-            live_i = live.astype(jnp.int32)
-            incl = _raster_incl_sum(live_i)
-            pos = incl - live_i
-            disp = jnp.where(live, lidx - pos, 0)
-            vals = [r[0] for r in in_refs]
-            if pack:
-                vals[0] = (disp << first_bits) | vals[0]
-                vals = _butterfly_packed(
-                    vals, n, disp_shift=first_bits, max_disp=max_disp
-                )
-                vals[0] = vals[0] & ((1 << first_bits) - 1)
-            else:
-                vals = _butterfly(vals, disp, n, max_disp=max_disp)
-            keep = lidx < tot_ref[b]
-            for oref, v in zip(out_refs, vals):
-                oref[0] = jnp.where(keep, v, jnp.int32(fill))[:p_rows, :]
-
-        tile_in = pl.BlockSpec((1, out_rows, L), lambda b: (b, 0, 0))
-        tile_out = pl.BlockSpec((1, p_rows, L), lambda b: (b, 0, 0))
-        return pl.pallas_call(
-            kern,
-            grid=(B,),
-            in_specs=[
-                pl.BlockSpec((B,), lambda b: (0,),
-                             memory_space=pltpu.SMEM),  # live totals
-                tile_in,                                # live mask (u8)
-            ] + [tile_in] * nv,
-            out_specs=[tile_out] * nv,
-            out_shape=[
-                jax.ShapeDtypeStruct((B, p_rows, L), jnp.int32)
-            ] * nv,
-            interpret=interpret,
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
-                # Mosaic's stack accounting is conservative over the
-                # butterfly rounds; the physical VMEM is far larger than
-                # the 16 MB default scoped limit
-                vmem_limit_bytes=100 * 1024 * 1024,
-            ),
-        )(total, live_u8, *group)
-
-    outs = []
-    pack_all = pack
-    for i in range(0, len(arrays), max(1, group)):
-        pack = pack_all and i == 0  # only the first group holds arrays[0]
-        outs.extend(run(arrays[i : i + max(1, group)]))
-    return outs
 
 
 def _butterfly_takes(arrays, disp, n: int, max_disp: int):

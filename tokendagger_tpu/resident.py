@@ -200,7 +200,10 @@ def run_resident(
     # full-lane (2.1x the barrier form, measured — ops/join.vocab_probe8t);
     # "barrier": (P, 48) materialization + slice compares
     if probe_impl == "chunks":
-        n_chunks = 16 if p_cap > 300_000 else 64
+        # chip sweeps: p_cap 349568 -> 16; 262144 -> 64; 249728 -> 96
+        # (4.390 vs 4.548 ms at 64; results/sweep_chunks42.log)
+        n_chunks = (16 if p_cap > 300_000
+                    else 64 if p_cap > 256_000 else 96)
 
         def probe_fn(k0, k1, k2, k3, pl, npc):
             return vocab_probe8t_chunks(k0, k1, k2, k3, pl,
