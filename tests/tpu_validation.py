@@ -116,7 +116,8 @@ def main() -> int:
     ok &= probe_arm("resident_nonascii",
                     ["--corpus", "emoji", "--cap-bpp", "auto"], 2400)
     ok &= probe_arm("resident_cap3", [], 900)   # worst-case-safe capacity
-    ok &= probe_arm("resident_tekken", ["--tokenizer", "mistral"], 1200)
+    ok &= probe_arm("resident_tekken",
+                    ["--tokenizer", "mistral", "--cap-bpp", "auto"], 1200)
 
     for out in (REPO / "results" / "tpu_validation.json",
                 REPO / "artifacts" / "tpu_validation.json"):
