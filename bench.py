@@ -205,8 +205,10 @@ def main() -> None:
                     default=min(32, os.cpu_count() or 8))
     ap.add_argument("--no-overlap", action="store_true",
                     help="tpu-resident: skip the H2D/compute overlap "
-                         "trial (it costs minutes of degraded-mode "
-                         "tunnel staging; the headline probe keeps it)")
+                         "trial (a one-off experiment — docs/PERF.md; "
+                         "every automated arm passes this flag because "
+                         "a degraded tunnel turns the trial into "
+                         "minutes of 0.4 MB/s staging)")
     ap.add_argument("--corpus", default="english",
                     choices=["english", "emoji"],
                     help="tpu-resident corpus (emoji = the reference's "
@@ -359,12 +361,13 @@ def main() -> None:
 
         # Probe 1 (headline kernel number): device-resident English,
         # capacity auto-sized from the exact host piece count at staging
-        # (resolves to cap 4.0 for this corpus — the 945.55 MB/s/chip
+        # (resolves to cap 4.2 for this corpus — the 1107.49 MB/s/chip
         # configuration of artifacts/tpu_validation.json). A too-dense
         # window flags overflow and fails match_host, so a wrong cap
         # invalidates the number, never the ids.
         r, err = probe([sys.executable, __file__, "--backend",
-                        "tpu-resident", "--cap-bpp", "auto"], 420)
+                        "tpu-resident", "--cap-bpp", "auto",
+                        "--no-overlap"], 420)
         if r and r["detail"].get("match_host"):
             detail["tpu_kernel_mbps"] = r["value"]
             detail["tpu_kernel"] = r["detail"]
@@ -407,8 +410,12 @@ def main() -> None:
         emit(host_mbps, {"winner": "host",
                          "tpu_probes": "pending (enriched line follows)"})
         # Probe 4: second-vocab arm — Tekken stand-in, nocontract profile
+        # (auto capacity: measured 1168 vs 822 MB/s/chip at the default
+        # worst-case cap 3.0 — the probe stage shares the English shape
+        # once the piece slots are sized to the corpus)
         r, err = probe([sys.executable, __file__, "--backend",
-                        "tpu-resident", "--tokenizer", "mistral"], 360)
+                        "tpu-resident", "--tokenizer", "mistral",
+                        "--cap-bpp", "auto"], 360)
         if r and r["detail"].get("match_host"):
             detail["tpu_kernel_mbps_tekken"] = r["value"]
         else:

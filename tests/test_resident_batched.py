@@ -92,9 +92,10 @@ def test_batched_general_nonascii_matches_host(llama4_assets):
 
 
 def test_auto_cap_resolution(llama4_assets):
-    """cap_bytes_per_piece=0 (auto) sizes the piece capacity from the
-    exact host piece count and stays bit-exact."""
-    from tokendagger_tpu.ops.fused import caps_for
+    """cap_bytes_per_piece=0 (auto) sizes the piece capacity TIGHT from
+    the exact host piece count (lane-aligned, 2% headroom) and stays
+    bit-exact — no overflow fallback may trigger."""
+    from tokendagger_tpu.hostengine import HostEngine
     from tokendagger_tpu.resident import run_resident
 
     pattern, ranks, specials = llama4_assets
@@ -106,7 +107,13 @@ def test_auto_cap_resolution(llama4_assets):
                        window=1 << 16, n_windows=2, reps=1, batch=2,
                        cap_bytes_per_piece=0, overlap_trial=False)
     assert res.match_host
-    assert res.cap_bpp in (8.0, 6.0, 5.0, 4.5, 4.2, 4.0, 3.5, 3.0,
-                           2.5, 2.0, 1.5, 1.0)
-    # the resolved cap must actually cover the windows (no overflow path)
-    assert caps_for(1 << 16, bytes_per_piece=res.cap_bpp)["p_cap"] > 0
+    # reported cap is the tight slot count expressed as bytes/piece:
+    # it must cover the densest window (with headroom) and not be the
+    # worst-case default
+    h = HostEngine(pattern, ranks, specials)
+    win0 = corpus[: 1 << 16].decode("utf-8", errors="ignore")
+    n_pieces = len(h.split_spans(win0))
+    p_cap = (1 << 16) / res.cap_bpp
+    assert p_cap >= n_pieces
+    # tightness: within ~2 lanes + 2% of the exact count
+    assert p_cap <= n_pieces * 1.02 + 8 + 256

@@ -163,14 +163,18 @@ def run_resident(
         win_bytes.append(arr.tobytes())
         wins.append((jnp.asarray(buf), jnp.int32(len(arr))))
 
-    if not cap_bytes_per_piece:
+    cap_auto = not cap_bytes_per_piece
+    if cap_auto:
         # auto piece capacity: exact host piece count per window (the
-        # scanners are bit-identical, so the count is the truth), then
-        # the LARGEST cap (fewest slots) whose p_cap covers every window
-        # with 2% headroom. Every piece-indexed stage (probe gathers,
-        # degap, finalize) pays per SLOT, so oversized capacity is pure
-        # wall time: English ~4.45 B/piece wastes 26% at the worst-case
-        # 3.0, emoji ~9.8 wastes 3.2x (docs/PERF.md).
+        # scanners are bit-identical, so the count is the truth), sized
+        # TIGHT — the smallest lane-aligned slot count covering every
+        # window with 2% headroom. Every piece-indexed stage (probe
+        # gathers, degap, finalize) pays per SLOT, so oversized capacity
+        # is pure wall time: English ~4.45 B/piece wastes 26% at the
+        # worst-case 3.0, emoji ~9.8 wastes 3.2x (docs/PERF.md). Tight
+        # sizing gives a corpus-unique shape (one fresh compile per
+        # corpus profile, then cached); callers that need shape reuse
+        # across corpora pass an explicit cap.
         from .hostengine import HostEngine
 
         h_sizer = HostEngine(pattern, ranks, specials)
@@ -178,14 +182,13 @@ def run_resident(
             (len(h_sizer.split_spans(b.decode("utf-8"))) for b in win_bytes),
             default=1,
         )
-        cap_bytes_per_piece = 1.0
-        for cand in (8.0, 6.0, 5.0, 4.5, 4.2, 4.0, 3.5, 3.0, 2.5, 2.0,
-                     1.5):
-            if (caps_for(N, bytes_per_piece=cand)["p_cap"]
-                    >= max_pieces * 1.02 + 8):
-                cap_bytes_per_piece = cand
-                break
+        p_tight = max(512, -(-int(max_pieces * 1.02 + 8) // 128) * 128)
+        cap_bytes_per_piece = round(N / p_tight, 2)
     caps = caps_for(N, bytes_per_piece=cap_bytes_per_piece)
+    if cap_auto:
+        # float-rounding of the reported cap_bpp must not shrink the
+        # verified-tight slot count
+        caps["p_cap"] = p_tight
     p_cap = caps["p_cap"]
 
     # "chunks": static span slicing, no control flow: ~31% over monolithic.
@@ -366,11 +369,21 @@ def run_resident(
                     # 14% slack instead of 85%. Candidates stay multiples
                     # of 4096 (bitplane tile constraint).
                     c_cap = N
-                    for cand in (N // 4, 5 * N // 16, 3 * N // 8,
-                                 N // 2, 5 * N // 8, 3 * N // 4):
-                        if cand % 4096 == 0 and max_chars <= cand:
-                            c_cap = cand
-                            break
+                    if cap_auto:
+                        # auto capacity: tight fit, multiple of 4096
+                        # (the bitplane tile constraint) with 2%
+                        # headroom — same one-compile-per-corpus
+                        # tradeoff as the tight p_cap above
+                        c_cap = min(N, max(
+                            4096,
+                            -(-int(max_chars * 1.02 + 32) // 4096) * 4096,
+                        ))
+                    else:
+                        for cand in (N // 4, 5 * N // 16, 3 * N // 8,
+                                     N // 2, 5 * N // 8, 3 * N // 4):
+                            if cand % 4096 == 0 and max_chars <= cand:
+                                c_cap = cand
+                                break
 
                     # wedge-free general decode/expand (VERDICT r3 item
                     # 2): tiled compaction with recorded take-masks +
