@@ -358,6 +358,12 @@ def vocab_probe8t_chunks(
     vs the 5.65 ms raw-gather issue floor (491 Mrows/s at any table
     size/row width — tools/probe_gather_size.py)."""
     P = qk0.shape[-1]
+    # ceil-split WITHOUT lane-aligning the span: rounding ch up to a
+    # 128-multiple (so every (48, ch) materialization has an aligned
+    # minor dim) was measured in-pipeline at 4681 µs vs 4559 µs for the
+    # plain split at p_cap 240512 — the misaligned-minor-dim tax does
+    # not apply to these concat slices, and the larger span loses more
+    # to tail imbalance than alignment saves.
     ch = -(-P // n_chunks)
     outs = []
     for i in range(n_chunks):
