@@ -18,7 +18,13 @@ Two mechanisms, both must be handled:
    /sys/module/page_reporting/parameters/free_bitmap_enable (root, this VM
    only, reversible). Measured on this VM: with Y, a freed 2 GB buffer
    re-touches at ~30 MB/s after 30 s; with N, a freed 12 GB buffer
-   re-touches at 5.3 GB/s after 45 s.
+   re-touches at 5.3 GB/s after 45 s. CAVEAT (measured 2026-08-20): the
+   `N` knob silences only the bitmap variant — classic free-page
+   reporting stays active at page_reporting_order=9, so freed >=2 MB
+   blocks can STILL be handed back on a timescale/host-policy that
+   varies by day; on a day with a slow grant path, GB-footprint
+   benchmarks degrade ~2x no matter the prefault (docs/PERF.md "Cap
+   validated at 1 GB"). Prefault remains necessary, not sufficient.
 
 Usage:  python tools/prefault.py [GB_total] [workers]
 Defaults: 24 GB, 4 workers. Idempotent — re-faulting granted pages is fast.
