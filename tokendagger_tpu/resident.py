@@ -203,10 +203,13 @@ def run_resident(
     # full-lane (2.1x the barrier form, measured — ops/join.vocab_probe8t);
     # "barrier": (P, 48) materialization + slice compares
     if probe_impl == "chunks":
-        # chip sweeps: p_cap 349568 -> 16; 262144 -> 64; 249728 -> 96
-        # (4.390 vs 4.548 ms at 64; results/sweep_chunks42.log)
+        # chip sweeps (results/sweep_chunks42.log): p_cap 349568 -> 16;
+        # 262144 -> 64; 240512 (tight English) -> 48 (4.249 ms vs 4.554
+        # at 96; the landscape is noisy — 40 spikes to 6.1); 156544
+        # (tight emoji) -> flat, 96 best by a hair
         n_chunks = (16 if p_cap > 300_000
-                    else 64 if p_cap > 256_000 else 96)
+                    else 64 if p_cap > 256_000
+                    else 48 if p_cap > 200_000 else 96)
 
         def probe_fn(k0, k1, k2, k3, pl, npc):
             return vocab_probe8t_chunks(k0, k1, k2, k3, pl,
