@@ -72,11 +72,15 @@ def mesh_resident_pipeline(
         sb, pl_, k0, k1, k2, k3, npc = compact_piece_keys_butterfly(
             starts, devs, nbs, p_cap, packed=packed, interpret=interpret,
         )
-        # 64 chunks = the chip-swept sweet spot at the flagship p_cap
-        # (tools/sweep_compact.py); cheap and equivalent at other shapes
+        # chunk count mirrors resident.py's chip-swept heuristic
+        # (results/sweep_chunks42.log): 48 at the tight flagship p_cap
+        # band; identical results at any count
+        n_chunks = (16 if p_cap > 300_000
+                    else 64 if p_cap > 256_000
+                    else 48 if p_cap > 200_000 else 96)
         rank = jax.vmap(
             lambda a, b, c, d, e: vocab_probe8t_chunks(
-                a, b, c, d, e, vhash_rows, vhash_mask, n_chunks=64)
+                a, b, c, d, e, vhash_rows, vhash_mask, n_chunks=n_chunks)
         )(k0, k1, k2, k3, pl_)
         out = finalize_butterfly(
             sb, pl_, rank, npc, trim, p_cap=p_cap, interpret=interpret,
