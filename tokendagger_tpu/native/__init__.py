@@ -168,8 +168,61 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int,
         ]
+        lib.td_decode.restype = ctypes.c_int64
+        lib.td_decode.argtypes = [
+            ctypes.c_void_p,  # ids (int64*)
+            ctypes.c_int64,   # n
+            ctypes.c_void_p,  # offsets (int64*)
+            ctypes.c_void_p,  # lengths (int32*)
+            ctypes.c_void_p,  # blob (uint8*)
+            ctypes.c_int64,   # n_vocab
+            ctypes.c_void_p,  # out (uint8*) or None for the count pass
+            ctypes.c_int,     # nthreads
+        ]
         _LIB = lib
         return _LIB
+
+
+def decode_ids(ids, offsets, lengths, blob, nthreads: int = 0) -> bytes:
+    """ids (int64 ndarray) -> concatenated token bytes via td_decode
+    (two-call protocol: validate+count, then GIL-free OpenMP fill).
+    Raises KeyError on an unknown id (message-identical to the numpy
+    path); returns None when the native lib is unavailable."""
+    import os
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = int(ids.shape[0])
+    nt = nthreads or min(4, os.cpu_count() or 1)
+    total = lib.td_decode(
+        ids.ctypes.data, n, offsets.ctypes.data, lengths.ctypes.data,
+        blob.ctypes.data, int(lengths.shape[0]), None, nt,
+    )
+    if total < 0:
+        raise KeyError(f"Unknown token id: {int(ids[-total - 1])}")
+    out = ctypes.create_string_buffer(int(total))
+    lib.td_decode(
+        ids.ctypes.data, n, offsets.ctypes.data, lengths.ctypes.data,
+        blob.ctypes.data, int(lengths.shape[0]), out, nt,
+    )
+    return out.raw
+
+
+def decode_list(tokens, offsets, lengths, blob, nthreads: int = 0):
+    """Python list/tuple of ids -> bytes via the tdpy CPython extension
+    (no numpy conversion; GIL-free parallel fill). Returns None when the
+    extension is unavailable; raises KeyError on an unknown id."""
+    import os
+
+    mod = get_pymod()
+    if mod is None or not hasattr(mod, "decode_list"):
+        return None
+    nt = nthreads or min(4, os.cpu_count() or 1)
+    return mod.decode_list(
+        tokens, memoryview(offsets), memoryview(lengths),
+        memoryview(blob), int(lengths.shape[0]), nt,
+    )
 
 
 class NativeEngine:

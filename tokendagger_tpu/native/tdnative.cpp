@@ -877,4 +877,56 @@ int64_t td_encode_batch(const void* h, const uint8_t* data,
   return err;
 }
 
+// Decode: ids -> concatenated token bytes, via the (offsets, lengths,
+// blob) tables compiled by tables.py (reference behavior:
+// tiktoken.cpp:236-255 decode_bytes — per-id table lookup, concat,
+// error on unknown id). Two-call protocol, both GIL-free via ctypes:
+//   out == nullptr: validate every id, return the total output byte
+//                   count, or -(i+1) for the first bad id at index i.
+//   out != nullptr: fill `out` (caller sized it from call one) with an
+//                   OpenMP block-parallel memcpy pass — each thread
+//                   re-sums its block's prefix lengths (memory-speed)
+//                   so no offset array is materialized.
+int64_t td_decode(const int64_t* ids, int64_t n, const int64_t* offs,
+                  const int32_t* lens, const uint8_t* blob,
+                  int64_t n_vocab, uint8_t* out, int nthreads) {
+  if (out == nullptr) {
+    int64_t total = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t id = ids[i];
+      if (id < 0 || id >= n_vocab || lens[id] < 0) return -(i + 1);
+      total += lens[id];
+    }
+    return total;
+  }
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > 64) nthreads = 64;
+  int64_t blk = (n + nthreads - 1) / nthreads;
+  if (blk < 1) blk = 1;
+  int nblk = (int)((n + blk - 1) / blk);
+  // one serial pass computes each block's output offset (the lens table
+  // is L2-resident, this runs at memory speed)
+  int64_t boff[65];
+  int64_t pos = 0;
+  for (int b = 0; b < nblk; ++b) {
+    boff[b] = pos;
+    int64_t hi = (int64_t)(b + 1) * blk < n ? (int64_t)(b + 1) * blk : n;
+    for (int64_t i = (int64_t)b * blk; i < hi; ++i) pos += lens[ids[i]];
+  }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static, 1) num_threads(nblk)
+#endif
+  for (int b = 0; b < nblk; ++b) {
+    int64_t lo = (int64_t)b * blk;
+    int64_t hi = lo + blk < n ? lo + blk : n;
+    int64_t p = boff[b];
+    for (int64_t i = lo; i < hi; ++i) {
+      int32_t len = lens[ids[i]];
+      std::memcpy(out + p, blob + offs[ids[i]], (size_t)len);
+      p += len;
+    }
+  }
+  return pos;
+}
+
 }  // extern "C"

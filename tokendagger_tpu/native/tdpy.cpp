@@ -30,6 +30,8 @@ int64_t td_scan(const void*, const uint8_t*, int64_t, int32_t*, int64_t);
 int64_t td_encode(const void*, const uint8_t*, int64_t, int32_t*, int64_t);
 int64_t td_encode_batch(const void*, const uint8_t*, const int64_t*, int64_t,
                         int32_t*, int64_t*, int);
+int64_t td_decode(const int64_t*, int64_t, const int64_t*, const int32_t*,
+                  const uint8_t*, int64_t, uint8_t*, int);
 }
 
 namespace {
@@ -296,6 +298,71 @@ PyObject* py_encode_batch_lists(PyObject*, PyObject* args) {
   return outer;
 }
 
+// tdpy.decode_list(ids, offs, lens, blob, n_vocab, nthreads) -> bytes
+//
+// Decode a Python list/tuple of token ids straight to bytes: the PyLong
+// extraction + validation + total-length pass runs under the GIL over
+// PySequence_Fast items (no numpy conversion — np.asarray on a 15M-id
+// list alone costs ~0.43 s on this VM), then the concat fill runs
+// GIL-free and OpenMP-parallel in td_decode. Mirrors the reference's
+// decode_bytes semantics (tiktoken.cpp:236-255): unknown id raises
+// KeyError with the same message as the numpy path.
+PyObject* py_decode_list(PyObject*, PyObject* args) {
+  PyObject* seq;
+  Py_buffer offs, lens, blob;
+  long long n_vocab;
+  int nthreads;
+  if (!PyArg_ParseTuple(args, "Oy*y*y*Li", &seq, &offs, &lens, &blob,
+                        &n_vocab, &nthreads))
+    return nullptr;
+  PyObject* fast = PySequence_Fast(seq, "ids must be a sequence");
+  PyObject* res = nullptr;
+  int64_t* ids = nullptr;
+  if (fast) {
+    Py_ssize_t n = PySequence_Fast_GET_SIZE(fast);
+    PyObject** items = PySequence_Fast_ITEMS(fast);
+    const int32_t* ln = (const int32_t*)lens.buf;
+    const int64_t* of = (const int64_t*)offs.buf;
+    ids = (int64_t*)PyMem_Malloc(sizeof(int64_t) * (n ? n : 1));
+    if (!ids) {
+      PyErr_NoMemory();
+    } else {
+      int64_t total = 0;
+      bool ok = true;
+      for (Py_ssize_t i = 0; i < n; ++i) {
+        long long v = PyLong_AsLongLong(items[i]);
+        if (v == -1 && PyErr_Occurred()) {
+          ok = false;
+          break;
+        }
+        if (v < 0 || v >= n_vocab || ln[v] < 0) {
+          PyErr_Format(PyExc_KeyError, "Unknown token id: %lld", v);
+          ok = false;
+          break;
+        }
+        ids[i] = v;
+        total += ln[v];
+      }
+      if (ok) {
+        res = PyBytes_FromStringAndSize(nullptr, total);
+        if (res && total) {
+          uint8_t* out = (uint8_t*)PyBytes_AS_STRING(res);
+          const uint8_t* bl = (const uint8_t*)blob.buf;
+          Py_BEGIN_ALLOW_THREADS
+          td_decode(ids, n, of, ln, bl, n_vocab, out, nthreads);
+          Py_END_ALLOW_THREADS
+        }
+      }
+    }
+  }
+  PyMem_Free(ids);
+  Py_XDECREF(fast);
+  PyBuffer_Release(&offs);
+  PyBuffer_Release(&lens);
+  PyBuffer_Release(&blob);
+  return res;
+}
+
 PyMethodDef methods[] = {
     {"create", py_create, METH_VARARGS, "create engine"},
     {"set_vocab", py_set_vocab, METH_VARARGS, "install vocab hash"},
@@ -303,6 +370,8 @@ PyMethodDef methods[] = {
      "encode bytes -> list of token ids (GIL-free encode)"},
     {"prime_longs", py_prime_longs, METH_VARARGS,
      "pre-build shared PyLongs for ids [0, n)"},
+    {"decode_list", py_decode_list, METH_VARARGS,
+     "decode a list of ids to bytes (GIL-free parallel fill)"},
     {"encode_batch_lists", py_encode_batch_lists, METH_VARARGS,
      "batch encode -> list of id lists (OpenMP, one GIL-free region)"},
     {nullptr, nullptr, 0, nullptr},

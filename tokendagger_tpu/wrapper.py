@@ -749,17 +749,42 @@ class Tokenizer:
     def decode_bytes(self, tokens: Sequence[int]) -> bytes:
         try:
             if len(tokens) >= self._DECODE_VEC_MIN:
-                ids = np.asarray(tokens, dtype=np.int64)
                 # ~4 output bytes/id: route large decodes with the same
                 # policy as encode (device only when it actually wins)
                 if self._use_device(len(tokens) * 4):
+                    ids = np.asarray(tokens, dtype=np.int64)
                     try:
                         return self._decode_bytes_device(ids)
                     except KeyError:
                         raise  # unknown id: same error either path
                     except Exception:  # noqa: BLE001 - exact host fallback
                         pass
-                return self._decode_bytes_vec(ids)
+                    return self._decode_bytes_vec(ids)
+                # native C++ paths: list ids go straight to the tdpy
+                # extension (no numpy conversion, GIL-free OpenMP fill —
+                # measured 5x the numpy repeat/fancy-index machinery at
+                # corpus scale, docs/PERF.md "decode"); arrays take the
+                # ctypes fill. Both raise the vec path's exact KeyError
+                # on unknown ids; absent native lib falls back to vec.
+                from . import native as _native
+
+                t = self._get_tables()
+                if isinstance(tokens, np.ndarray):
+                    ids = np.ascontiguousarray(tokens, dtype=np.int64)
+                    out = _native.decode_ids(
+                        ids, t.decode_offsets, t.decode_lengths,
+                        t.decode_blob)
+                    if out is not None:
+                        return out
+                    return self._decode_bytes_vec(ids)
+                out = _native.decode_list(
+                    tokens if isinstance(tokens, (list, tuple))
+                    else list(tokens),
+                    t.decode_offsets, t.decode_lengths, t.decode_blob)
+                if out is not None:
+                    return out
+                return self._decode_bytes_vec(
+                    np.asarray(tokens, dtype=np.int64))
             return self._host.decode_bytes(list(tokens))
         except Exception as e:  # noqa: BLE001
             raise TokenDaggerError(f"Decoding failed: {e}") from e
