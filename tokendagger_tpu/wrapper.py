@@ -534,6 +534,8 @@ class Tokenizer:
         errors: str = "replace",
     ) -> list[str]:
         decoder = functools.partial(self.decode, errors=errors)
+        if self._decode_batch_serial():
+            return [decoder(t) for t in tokens]
         with ThreadPoolExecutor(self._effective_threads(num_threads)) as e:
             return list(e.map(decoder, tokens))
 
@@ -541,8 +543,23 @@ class Tokenizer:
         self, tokens: Sequence[Sequence[int]], *, num_threads: int = 8
     ) -> list[bytes]:
         """tiktoken-compatible batch of :meth:`decode_bytes`."""
+        if self._decode_batch_serial():
+            return [self.decode_bytes(t) for t in tokens]
         with ThreadPoolExecutor(self._effective_threads(num_threads)) as e:
             return list(e.map(self.decode_bytes, tokens))
+
+    def _decode_batch_serial(self) -> bool:
+        """When the native decode is available, batch decode runs as a
+        plain serial loop: td_decode parallelizes its fill internally
+        with OpenMP, and everything else per item is GIL-bound, so a
+        ThreadPoolExecutor adds only overhead (measured: 4096 x ~2k-id
+        items decode at 244 MB/s serial vs 82-105 through the executor
+        at ANY worker count — docs/PERF.md "Decode"). Without the native
+        lib, keep the executor (numpy fancy-indexing releases the GIL
+        for stretches)."""
+        from . import native as _native
+
+        return _native.get_pymod() is not None
 
     def encode_to_numpy(
         self,
@@ -682,9 +699,12 @@ class Tokenizer:
     # ------------------------------------------------------------------
     # Decoding (reference wrapper.py:262-290)
     # ------------------------------------------------------------------
-    # Above this many ids, decode via vectorized gather from the compiled
-    # rank->bytes tables instead of the per-id dict loop.
-    _DECODE_VEC_MIN = 512
+    # Above this many ids, decode via the native GIL-free fill (or the
+    # vectorized-gather fallback) from the compiled rank->bytes tables
+    # instead of the per-id dict loop. Crossover measured at ~20 ids on
+    # this VM (host dict 1.3 us at 16 ids vs native 1.6; 4.2 vs 2.0 at
+    # 64 — docs/PERF.md "Decode").
+    _DECODE_VEC_MIN = 24
 
     def _get_tables(self):
         if self._tables is None:
