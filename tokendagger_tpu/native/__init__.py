@@ -201,6 +201,8 @@ def decode_ids(ids, offsets, lengths, blob, nthreads: int = 0) -> bytes:
     )
     if total < 0:
         raise KeyError(f"Unknown token id: {int(ids[-total - 1])}")
+    if total == 0:
+        return b""
     out = ctypes.create_string_buffer(int(total))
     lib.td_decode(
         ids.ctypes.data, n, offsets.ctypes.data, lengths.ctypes.data,
