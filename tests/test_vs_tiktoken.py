@@ -120,6 +120,14 @@ class TestConformance:
             corpus_emoji
         )
 
+    def test_token_byte_values_order(self, pair):
+        """tiktoken's token_byte_values is its Rust core's
+        sorted_token_bytes (lexicographic), NOT rank order — the rank
+        order of this vocab starts b'\\xc0' while tiktoken returns
+        b'\\x00' first. Must be element-identical."""
+        ours, oracle = pair
+        assert ours.token_byte_values() == oracle.token_byte_values()
+
     def test_decode_fixed_ids(self, pair):
         ours, oracle = pair
         id_lists = [

@@ -864,8 +864,13 @@ class Tokenizer:
         return r
 
     def token_byte_values(self) -> list[bytes]:
-        """tiktoken-compatible: all ordinary token byte strings."""
-        return list(self._mergeable_ranks.keys())
+        """tiktoken-compatible: all ordinary token byte strings, sorted
+        lexicographically — tiktoken returns its Rust core's
+        `sorted_token_bytes` (the array its unstable-token search binary-
+        searches), not rank order; verified element-identical against
+        tiktoken on the Llama-4 vocab. Returns a copy of the cached
+        sorted list (callers may mutate their copy)."""
+        return list(self._get_unstable_aux()[0])
 
     @property
     def eot_token(self) -> int:
