@@ -120,6 +120,36 @@ class TestConformance:
             corpus_emoji
         )
 
+    def test_attribute_surface_parity(self, pair):
+        """Every small public surface must agree with tiktoken on the
+        real vocab, including exception behavior (audit that caught the
+        token_byte_values ordering and encode_single_token special-bytes
+        bugs)."""
+        ours, oracle = pair
+
+        def tryget(f):
+            try:
+                return ("val", f())
+            except Exception as e:  # noqa: BLE001
+                return ("exc", type(e).__name__)
+
+        assert ours.n_vocab == oracle.n_vocab
+        assert ours.max_token_value == oracle.max_token_value
+        assert tryget(lambda: ours.eot_token) == tryget(
+            lambda: oracle.eot_token)
+        assert ours.special_tokens_set == oracle.special_tokens_set
+        ids = ours.encode_ordinary("hello world test \U0001f642")
+        assert ours.decode_tokens_bytes(ids) == oracle.decode_tokens_bytes(ids)
+        bad = ours.encode_ordinary("héllo")[:1]  # split multibyte char
+        for errors in ("replace", "ignore"):
+            assert ours.decode(bad, errors=errors) == oracle.decode(
+                bad, errors=errors)
+        # tiktoken resolves special-token BYTES in encode_single_token
+        for probe in (b"<|begin_of_text|>", "<|begin_of_text|>", b"hello",
+                      b"\xff\xfe", b"<|not_a_special|>"):
+            assert tryget(lambda: ours.encode_single_token(probe)) == tryget(
+                lambda: oracle.encode_single_token(probe)), probe
+
     def test_token_byte_values_order(self, pair):
         """tiktoken's token_byte_values is its Rust core's
         sorted_token_bytes (lexicographic), NOT rank order — the rank

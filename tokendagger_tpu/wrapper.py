@@ -860,7 +860,16 @@ class Tokenizer:
             text_or_bytes = text_or_bytes.encode("utf-8")
         r = self._mergeable_ranks.get(text_or_bytes)
         if r is None:
-            raise KeyError(text_or_bytes)
+            # tiktoken's core also resolves special-token BYTES: on an
+            # encoder miss it decodes the bytes and probes the special
+            # encoder (verified: tiktoken returns 200000 for
+            # b"<|begin_of_text|>" where rank-order lookup alone raises)
+            try:
+                r = self._special_tokens.get(text_or_bytes.decode("utf-8"))
+            except UnicodeDecodeError:
+                r = None
+            if r is None:
+                raise KeyError(text_or_bytes)
         return r
 
     def token_byte_values(self) -> list[bytes]:
