@@ -56,9 +56,14 @@ class TestSmoke:
         with pytest.raises(ValueError, match="bos"):
             tok.encode_batch(["x <|bos|> y"])
 
-    def test_unknown_allowed_raises(self, tok):
-        with pytest.raises((TokenDaggerError, KeyError)):
-            tok.encode("x", allowed_special={"<|nope|>"})
+    def test_unknown_allowed_is_inert(self, tok):
+        """tiktoken semantics (the oracle, verified on the real vocab):
+        names in allowed_special that are not special tokens of this
+        encoding are silently ignored — tiktoken encodes the text
+        ordinarily, it does NOT raise. (The reference C++ raises,
+        tiktoken.cpp:177-182; tiktoken wins per the project contract.)"""
+        assert tok.encode("x", allowed_special={"<|nope|>"},
+                          disallowed_special=()) == tok.encode_ordinary("x")
 
     def test_batch_roundtrip(self, tok):
         texts = ["hello", "the store", ""]

@@ -908,7 +908,12 @@ class Tokenizer:
             # Llama-4 specials
             allowed = self._host.all_specials
         else:
-            allowed = set(allowed)
+            # tiktoken semantics (the oracle): names that are not special
+            # tokens of this encoding are silently inert — tiktoken
+            # encodes `"<|zzz|>"` as ordinary text under
+            # allowed_special={"<|zzz|>"} (verified; the reference C++
+            # instead throws, tiktoken.cpp:177-182 — tiktoken wins)
+            allowed = set(allowed) & self._special_tokens.keys()
         if disallowed == "all":
             if allowed is self._host.all_specials:
                 disallowed = frozenset()
@@ -942,10 +947,21 @@ class Tokenizer:
             if bigram in text:
                 for token in tokens:
                     if token in text:
+                        # tiktoken's exact message (raise_disallowed_
+                        # special_token), so callers matching on it are
+                        # drop-in portable
                         raise ValueError(
-                            f"Encountered disallowed special token {token!r}. "
-                            f"Pass it to allowed_special to encode it as a "
-                            f"special token."
+                            f"Encountered text corresponding to disallowed"
+                            f" special token {token!r}.\n"
+                            f"If you want this text to be encoded as a"
+                            f" special token, pass it to `allowed_special`,"
+                            f" e.g. `allowed_special={{{token!r}, ...}}`.\n"
+                            f"If you want this text to be encoded as normal"
+                            f" text, disable the check for this token by"
+                            f" passing `disallowed_special=(enc."
+                            f"special_tokens_set - {{{token!r}}})`.\n"
+                            f"To disable this check for all special tokens,"
+                            f" pass `disallowed_special=()`.\n"
                         )
 
 
@@ -983,11 +999,24 @@ def Encoding(
     pat_str: str,
     mergeable_ranks: dict[bytes, int],
     special_tokens: dict[str, int] | None = None,
+    explicit_n_vocab: int | None = None,
 ) -> Tokenizer:
-    """tiktoken-compatible factory (reference wrapper.py:382-395)."""
-    return Tokenizer(
+    """tiktoken-compatible factory (reference wrapper.py:382-395).
+
+    ``explicit_n_vocab`` mirrors tiktoken's constructor check: when
+    given, the vocab (ordinary + special) must have exactly that many
+    entries and the max token id must be ``explicit_n_vocab - 1``
+    (AssertionError otherwise, exactly as tiktoken raises)."""
+    tok = Tokenizer(
         name=name,
         pat_str=pat_str,
         mergeable_ranks=mergeable_ranks,
         special_tokens=special_tokens or {},
     )
+    if explicit_n_vocab:
+        assert (
+            len(mergeable_ranks) + len(special_tokens or {})
+            == explicit_n_vocab
+        )
+        assert tok.max_token_value == explicit_n_vocab - 1
+    return tok
