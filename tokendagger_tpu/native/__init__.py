@@ -177,6 +177,7 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.c_void_p,  # blob (uint8*)
             ctypes.c_int64,   # n_vocab
             ctypes.c_void_p,  # out (uint8*) or None for the count pass
+            ctypes.c_int64,   # out_cap (fill pass clamps writes to this)
             ctypes.c_int,     # nthreads
         ]
         _LIB = lib
@@ -197,16 +198,19 @@ def decode_ids(ids, offsets, lengths, blob, nthreads: int = 0) -> bytes:
     nt = nthreads or min(4, os.cpu_count() or 1)
     total = lib.td_decode(
         ids.ctypes.data, n, offsets.ctypes.data, lengths.ctypes.data,
-        blob.ctypes.data, int(lengths.shape[0]), None, nt,
+        blob.ctypes.data, int(lengths.shape[0]), None, 0, nt,
     )
     if total < 0:
         raise KeyError(f"Unknown token id: {int(ids[-total - 1])}")
     if total == 0:
         return b""
+    # the fill pass re-reads `ids` (zero-copy two-call protocol) but
+    # revalidates and clamps against `total` in C, so a caller mutating
+    # the array between/during the calls cannot overflow `out`
     out = ctypes.create_string_buffer(int(total))
     lib.td_decode(
         ids.ctypes.data, n, offsets.ctypes.data, lengths.ctypes.data,
-        blob.ctypes.data, int(lengths.shape[0]), out, nt,
+        blob.ctypes.data, int(lengths.shape[0]), out, int(total), nt,
     )
     return out.raw
 

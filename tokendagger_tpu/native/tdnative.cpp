@@ -883,13 +883,20 @@ int64_t td_encode_batch(const void* h, const uint8_t* data,
 // error on unknown id). Two-call protocol, both GIL-free via ctypes:
 //   out == nullptr: validate every id, return the total output byte
 //                   count, or -(i+1) for the first bad id at index i.
-//   out != nullptr: fill `out` (caller sized it from call one) with an
-//                   OpenMP block-parallel memcpy pass — each thread
-//                   re-sums its block's prefix lengths (memory-speed)
-//                   so no offset array is materialized.
+//   out != nullptr: fill `out` (caller sized it from call one; capacity
+//                   passed as `out_cap`) with an OpenMP block-parallel
+//                   memcpy pass — each thread re-sums its block's prefix
+//                   lengths (memory-speed) so no offset array is
+//                   materialized. The fill REVALIDATES every id and
+//                   clamps against out_cap: the caller's ids buffer is
+//                   read twice across the two calls, so a concurrent
+//                   mutation between/during them must never turn into an
+//                   out-of-bounds write (output may be garbage then, but
+//                   memory safety holds).
 int64_t td_decode(const int64_t* ids, int64_t n, const int64_t* offs,
                   const int32_t* lens, const uint8_t* blob,
-                  int64_t n_vocab, uint8_t* out, int nthreads) {
+                  int64_t n_vocab, uint8_t* out, int64_t out_cap,
+                  int nthreads) {
   if (out == nullptr) {
     int64_t total = 0;
     for (int64_t i = 0; i < n; ++i) {
@@ -911,7 +918,10 @@ int64_t td_decode(const int64_t* ids, int64_t n, const int64_t* offs,
   for (int b = 0; b < nblk; ++b) {
     boff[b] = pos;
     int64_t hi = (int64_t)(b + 1) * blk < n ? (int64_t)(b + 1) * blk : n;
-    for (int64_t i = (int64_t)b * blk; i < hi; ++i) pos += lens[ids[i]];
+    for (int64_t i = (int64_t)b * blk; i < hi; ++i) {
+      int64_t id = ids[i];
+      if (id >= 0 && id < n_vocab && lens[id] > 0) pos += lens[id];
+    }
   }
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static, 1) num_threads(nblk)
@@ -921,8 +931,11 @@ int64_t td_decode(const int64_t* ids, int64_t n, const int64_t* offs,
     int64_t hi = lo + blk < n ? lo + blk : n;
     int64_t p = boff[b];
     for (int64_t i = lo; i < hi; ++i) {
-      int32_t len = lens[ids[i]];
-      std::memcpy(out + p, blob + offs[ids[i]], (size_t)len);
+      int64_t id = ids[i];
+      if (id < 0 || id >= n_vocab) continue;
+      int32_t len = lens[id];
+      if (len <= 0 || p + len > out_cap) continue;
+      std::memcpy(out + p, blob + offs[id], (size_t)len);
       p += len;
     }
   }

@@ -31,7 +31,7 @@ int64_t td_encode(const void*, const uint8_t*, int64_t, int32_t*, int64_t);
 int64_t td_encode_batch(const void*, const uint8_t*, const int64_t*, int64_t,
                         int32_t*, int64_t*, int);
 int64_t td_decode(const int64_t*, int64_t, const int64_t*, const int32_t*,
-                  const uint8_t*, int64_t, uint8_t*, int);
+                  const uint8_t*, int64_t, uint8_t*, int64_t, int);
 }
 
 namespace {
@@ -349,7 +349,7 @@ PyObject* py_decode_list(PyObject*, PyObject* args) {
           uint8_t* out = (uint8_t*)PyBytes_AS_STRING(res);
           const uint8_t* bl = (const uint8_t*)blob.buf;
           Py_BEGIN_ALLOW_THREADS
-          td_decode(ids, n, of, ln, bl, n_vocab, out, nthreads);
+          td_decode(ids, n, of, ln, bl, n_vocab, out, total, nthreads);
           Py_END_ALLOW_THREADS
         }
       }

@@ -45,6 +45,11 @@ class ResidentResult:
     probe_impl: str = "transposed"  # vocab probe (chunked/transposed/barrier)
     cap_bpp: float = 3.0        # piece-slot sizing (bytes/piece)
     overlap: dict | None = None  # H2D/compute overlap probe (streaming)
+    # windows whose piece count exceeded p_cap and demoted to the exact
+    # host fallback — nonzero here under auto capacity means the host
+    # sizer (regex split_spans) and the device scanner disagree on piece
+    # counts, a silent perf cliff that must surface in artifacts
+    overflow_windows: int = 0
 
     def to_dict(self):
         return asdict(self)
@@ -531,6 +536,12 @@ def run_resident(
         # drain: forces real completion (sole D2H read of the timed run)
         total_tokens = int(np.asarray(last[1]).sum())
     wall_ms = (time.perf_counter() - t0) / reps * 1e3
+    # overflow accounting (ADVICE r4): windows that blew p_cap demote to
+    # the exact host fallback — always exact, but a silent perf cliff if
+    # the auto sizer ever disagrees with the device scanner. Post-drain
+    # read, so it costs nothing in the timed region.
+    _ovf = np.asarray(last[5])
+    overflow_windows = int(_ovf.sum()) if _ovf.ndim else int(bool(_ovf))
     stage_tot = _device_times_from_trace(trace_dir)
     stage_us = {k: round(v / reps, 2) for k, v in sorted(stage_tot.items())}
     device_ms = sum(stage_tot.values()) / reps / 1e3
@@ -677,4 +688,5 @@ def run_resident(
         probe_impl=probe_impl,
         cap_bpp=cap_bytes_per_piece,
         overlap=overlap_stats,
+        overflow_windows=overflow_windows,
     )

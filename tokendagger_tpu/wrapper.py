@@ -369,9 +369,13 @@ class Tokenizer:
         "16->32-thread regression" — the GIL-free OpenMP encode loses up
         to 66% under 8x oversubscription, and no path here can gain from
         more threads than cores). Values below the core count are honored
-        as given."""
+        as given. tiktoken honors any requested worker count; callers who
+        deliberately want oversubscription (e.g. to benchmark it) can set
+        ``TOKENDAGGER_NO_THREAD_CAP=1`` to opt out of the clamp."""
         import os
 
+        if os.environ.get("TOKENDAGGER_NO_THREAD_CAP"):
+            return max(1, num_threads)
         return max(1, min(num_threads, os.cpu_count() or num_threads))
 
     def encode_batch(
