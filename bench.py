@@ -123,6 +123,23 @@ def device_resident_main(args) -> None:
         specials = tek["special_tokens"]
         pattern = tek["pattern"]
         profile = "nocontract"
+    elif args.tokenizer in ("cl100k", "gpt2"):
+        # real patterns over realistic stand-in vocabs (the real files are
+        # unavailable offline): merge-closed rank prefixes of the Llama-4
+        # vocab at the true sizes, the convention established by
+        # tests/test_profiles_fullvocab.py
+        model = REFERENCE / "src" / "tokenizer.model"
+        full = vocab.load_tiktoken_model(model)
+        if args.tokenizer == "cl100k":
+            n, pattern, specials = (
+                100_256, vocab.CL100K_PATTERN, {"<|endoftext|>": 100257}
+            )
+        else:
+            n, pattern, specials = (
+                50_256, vocab.GPT2_PATTERN, {"<|endoftext|>": 50256}
+            )
+        ranks = {tb: r for tb, r in full.items() if r < n}
+        profile = args.tokenizer
     else:
         model = REFERENCE / "src" / "tokenizer.model"
         ranks = vocab.load_tiktoken_model(model)
@@ -214,9 +231,11 @@ def main() -> None:
                     help="tpu-resident corpus (emoji = the reference's "
                          "non-ASCII conformance corpus, tiled)")
     ap.add_argument("--tokenizer", default="llama",
-                    choices=["llama", "mistral"],
+                    choices=["llama", "mistral", "cl100k", "gpt2"],
                     help="tpu-resident vocab (mistral = Tekken stand-in, "
-                         "nocontract scanner profile)")
+                         "nocontract scanner profile; cl100k/gpt2 = real "
+                         "patterns over merge-closed Llama-4 rank prefixes "
+                         "at the true vocab sizes)")
     args = ap.parse_args()
     args.cap_bpp = (0.0 if str(args.cap_bpp) == "auto"
                     else float(args.cap_bpp))

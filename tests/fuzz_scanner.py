@@ -12,7 +12,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import regex
 
-from tokendagger_tpu.scanner_ref import split_spans
+from tokendagger_tpu.scanner_ref import piece_starts, split_spans
 from tokendagger_tpu.vocab import LLAMA4_PATTERN
 
 PAT = regex.compile(LLAMA4_PATTERN)
@@ -64,6 +64,19 @@ def oracle_spans(pat, text):
     return [m.span() for m in pat.finditer(text)]
 
 
+def _local_spans(text, profile):
+    """Spans from the boundary-local piece_starts derivation (the device
+    scanner's formulation) — must equal the chained split_spans."""
+    import numpy as np
+
+    cp = np.frombuffer(
+        text.encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    st = piece_starts(cp, profile=profile)
+    pos = np.nonzero(st)[0].tolist() + [len(cp)]
+    return list(zip(pos[:-1], pos[1:]))
+
+
 def check(text, tag, verbose=True):
     ok = True
     for pat, profile in (
@@ -72,6 +85,17 @@ def check(text, tag, verbose=True):
     ):
         got = split_spans(text, profile=profile)
         want = oracle_spans(pat, text)
+        local = _local_spans(text, profile)
+        if local != want:
+            ok = False
+            if verbose:
+                diff = next(
+                    ((a, b) for a, b in zip(local, want) if a != b),
+                    (("len", len(local)), ("len", len(want))),
+                )
+                print(f"LOCAL MISMATCH [{tag}] profile={profile}: "
+                      f"got {diff[0]} want {diff[1]}")
+                print("  text:", repr(text[:120]))
         if got != want:
             ok = False
             if verbose:

@@ -165,7 +165,7 @@ def _pad(text, n):
     return jnp.asarray(row), jnp.int32(len(cps))
 
 
-@pytest.mark.parametrize("profile", ["llama4", "nocontract"])
+@pytest.mark.parametrize("profile", ["llama4", "nocontract", "cl100k", "gpt2"])
 def test_bits_edge_texts(tables, profile):
     page_ids, pages = tables
     for text in EDGE_TEXTS:
@@ -179,7 +179,7 @@ def test_bits_edge_texts(tables, profile):
         assert np.array_equal(want, got), repr(text)
 
 
-@pytest.mark.parametrize("profile", ["llama4", "nocontract"])
+@pytest.mark.parametrize("profile", ["llama4", "nocontract", "cl100k", "gpt2"])
 def test_bits_fuzz(tables, profile):
     page_ids, pages = tables
     rng = random.Random(20260818)
@@ -257,7 +257,7 @@ def test_bits_pallas_interpret(tables):
         ms.append(min(len(cps), N))
     cp = jnp.asarray(np.stack(rows))
     m = jnp.asarray(np.array(ms, np.int32))
-    for profile in ("llama4", "nocontract"):
+    for profile in ("llama4", "nocontract", "cl100k", "gpt2"):
         got = np.asarray(
             BP.piece_starts_bits_pallas(
                 cp, m, page_ids, pages, profile=profile, interpret=True

@@ -15,7 +15,7 @@ import pytest
 
 from tokendagger_tpu.scanner_ref import match_lengths, piece_starts
 
-PROFILES = ["llama4", "nocontract"]
+PROFILES = ["llama4", "nocontract", "cl100k", "gpt2"]
 
 
 def _chain_truth(cp: np.ndarray, profile: str) -> np.ndarray:
@@ -131,4 +131,4 @@ def test_fuzz_vs_chain(profile):
 
 def test_unsupported_profile_raises():
     with pytest.raises(NotImplementedError):
-        piece_starts(_cp("abc"), profile="cl100k")
+        piece_starts(_cp("abc"), profile="o999k_nonexistent")

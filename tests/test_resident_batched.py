@@ -117,3 +117,48 @@ def test_auto_cap_resolution(llama4_assets):
     assert p_cap >= n_pieces
     # tightness: within ~2 lanes + 2% of the exact count
     assert p_cap <= n_pieces * 1.02 + 8 + 256
+
+
+@pytest.mark.parametrize("profile", ["cl100k", "gpt2"])
+def test_batched_cl100k_gpt2_flagship(llama4_assets, profile):
+    """cl100k and gpt2 ride the SAME flagship pipeline (bits-pallas
+    starts + butterfly compaction + chunked probe) as the o200k family
+    — VERDICT r4 item 3. Vocab: merge-closed Llama-4 rank prefix at the
+    true sizes (tests/test_profiles_fullvocab.py convention); pattern:
+    the real cl100k_base / gpt2 pat_str."""
+    from tokendagger_tpu import vocab as V
+    from tokendagger_tpu.resident import run_resident
+
+    _, full_ranks, _ = llama4_assets
+    if profile == "cl100k":
+        n, pattern, specials = 100_256, V.CL100K_PATTERN, {"<|endoftext|>": 100257}
+    else:
+        n, pattern, specials = 50_256, V.GPT2_PATTERN, {"<|endoftext|>": 50256}
+    ranks = {tb: r for tb, r in full_ranks.items() if r < n}
+
+    lor = pathlib.Path("/root/reference/tests/input/lorem.txt")
+    if not lor.exists():
+        pytest.skip("lorem corpus unavailable")
+    corpus = (lor.read_bytes() * 10)[: 1 << 18]
+    res = run_resident(ranks, specials, pattern, corpus,
+                       window=1 << 16, n_windows=2, reps=1, batch=2,
+                       starts_impl="bits-pallas", compact_impl="butterfly",
+                       probe_impl="chunks", cap_bytes_per_piece=0,
+                       profile=profile, overlap_trial=False)
+    assert res.impl == "ascii-sort"
+    assert res.match_host
+    assert res.overflow_windows == 0
+    assert res.total_tokens > 0
+
+    # the general (non-ASCII) path with the same profiles
+    emo = pathlib.Path("/root/reference/tests/input/emoji.txt")
+    if emo.exists():
+        corpus2 = lor.read_bytes()[: 1 << 15] + emo.read_bytes()[: 1 << 16]
+        res2 = run_resident(ranks, specials, pattern, corpus2,
+                            window=1 << 15, n_windows=2, reps=1, batch=2,
+                            starts_impl="bits-pallas",
+                            compact_impl="butterfly",
+                            probe_impl="chunks", cap_bytes_per_piece=0,
+                            profile=profile, overlap_trial=False)
+        assert res2.impl == "general"
+        assert res2.match_host

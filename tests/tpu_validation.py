@@ -123,6 +123,15 @@ def main() -> int:
     ok &= probe_arm("resident_tekken",
                     ["--tokenizer", "mistral", "--cap-bpp", "auto",
                      "--no-overlap"], 1200)
+    # cl100k / gpt2 on the SAME flagship pipeline (VERDICT r4 item 3):
+    # real patterns, merge-closed Llama-4 rank-prefix stand-in vocabs at
+    # the true sizes (tests/test_profiles_fullvocab.py convention)
+    ok &= probe_arm("resident_cl100k",
+                    ["--tokenizer", "cl100k", "--cap-bpp", "auto",
+                     "--no-overlap"], 1200)
+    ok &= probe_arm("resident_gpt2",
+                    ["--tokenizer", "gpt2", "--cap-bpp", "auto",
+                     "--no-overlap"], 1200)
 
     report["ok"] = ok
     for out in (REPO / "results" / "tpu_validation.json",

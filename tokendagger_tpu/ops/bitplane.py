@@ -459,12 +459,15 @@ def _valid_words(m, c: int):
     return jnp.where(t >= 32, _ALL1, run)
 
 
-def _char_masks_planes(by, m, *, contractions: bool):
+def _char_masks_planes(by, m, *, contractions: bool,
+                       profile: str = "llama4"):
     """ascii_fast mask construction in plane space: returns the packed
     (C,) uint32 word dict (same keys/values as pack_mask over
     _char_masks(..., ascii_fast=True)). ``by`` is the raw byte window
     (uint8 or any int dtype); bytes at positions >= m may be arbitrary
-    (they are masked via the validity plane)."""
+    (they are masked via the validity plane). For profile="gpt2" the
+    fold planes carry the CASE-SENSITIVE suffix predicate instead of the
+    fold-table one."""
     n = by.shape[0]
     c = n // 32
     valid = _valid_words(m, c)
@@ -514,7 +517,16 @@ def _char_masks_planes(by, m, *, contractions: bool):
     apo = members(classes["apo"])
     rnsl = rn | members(classes["rnsl"] - classes["rn"])
 
-    if contractions:
+    if profile == "gpt2":
+        # case-sensitive ASCII suffix letters (no fold table)
+        lit = {c: members(frozenset([ord(c)])) for c in "sdmtlver"}
+        fold_one = nxtk(lit["s"] | lit["d"] | lit["m"] | lit["t"], 1)
+        fold_two = (
+            (nxtk(lit["l"], 1) & nxtk(lit["l"], 2))
+            | (nxtk(lit["v"], 1) & nxtk(lit["e"], 2))
+            | (nxtk(lit["r"], 1) & nxtk(lit["e"], 2))
+        )
+    elif contractions:
         f = {i: members(fold[i]) for i in range(8)}
         # fold_one[i] = char i+1 folds to s/t/m/d; fold_two[i] = chars
         # (i+1, i+2) fold to (r,e)/(v,e)/(l,l). nxtk fills with 0 and the
@@ -534,12 +546,28 @@ def _char_masks_planes(by, m, *, contractions: bool):
 
 
 def _char_masks(cp, m, page_ids, pages, *, contractions: bool,
-                ascii_fast: bool = False):
+                ascii_fast: bool = False, profile: str = "llama4"):
     from .pretokenize import _cls_lookup, _fold_is, _shl
 
     n = cp.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     valid = idx < m
+
+    def _gpt2_suffix():
+        # case-sensitive ASCII suffix letters (no fold table)
+        cp1 = jnp.where(idx + 1 < m, _shl(cp, 1, jnp.int32(0)), 0)
+        cp2 = jnp.where(idx + 2 < m, _shl(cp, 2, jnp.int32(0)), 0)
+        one = (
+            (cp1 == ord("s")) | (cp1 == ord("d")) | (cp1 == ord("m"))
+            | (cp1 == ord("t"))
+        )
+        two = (
+            ((cp1 == ord("l")) & (cp2 == ord("l")))
+            | ((cp1 == ord("v")) & (cp2 == ord("e")))
+            | ((cp1 == ord("r")) & (cp2 == ord("e")))
+        )
+        return one, two
+
     if ascii_fast:
         # caller guarantees every codepoint < 128: class bits become a
         # handful of range compares (no table gather on the hot path)
@@ -552,7 +580,9 @@ def _char_masks(cp, m, page_ids, pages, *, contractions: bool,
         sp = (cp == ord(" ")) & valid
         apo = (cp == ord("'")) & valid
         rnsl = (rn | (cp == ord("/"))) & valid
-        if contractions:
+        if profile == "gpt2":
+            fold_one, fold_two = _gpt2_suffix()
+        elif contractions:
             cp1 = jnp.where(idx + 1 < m, _shl(cp, 1, jnp.int32(0)), 0)
             cp2 = jnp.where(idx + 2 < m, _shl(cp, 2, jnp.int32(0)), 0)
             fold_one = (
@@ -582,7 +612,9 @@ def _char_masks(cp, m, page_ids, pages, *, contractions: bool,
     apo = (cp == ord("'")) & valid
     rnsl = (rn | (cp == ord("/"))) & valid
 
-    if contractions:
+    if profile == "gpt2":
+        fold_one, fold_two = _gpt2_suffix()
+    elif contractions:
         cp1 = jnp.where(idx + 1 < m, _shl(cp, 1, jnp.int32(0)), 0)
         cp2 = jnp.where(idx + 2 < m, _shl(cp, 2, jnp.int32(0)), 0)
         fold_one = (
@@ -615,11 +647,18 @@ MASK_ORDER = (
 
 
 def derive_starts_words(
-    P: dict, *, contractions: bool, n_total: int
+    P: dict, *, contractions: bool, n_total: int,
+    profile: str | None = None,
 ) -> jnp.ndarray:
     """Word-space derivation: packed masks -> packed start flags.
     Shape-agnostic over leading axes (last axis = words); runs unchanged
-    under jit, vmap, and inside a Pallas kernel body."""
+    under jit, vmap, and inside a Pallas kernel body. Dispatches on
+    profile: o200k family (llama4/nocontract) below, cl100k/gpt2 in
+    their own word-space derivations."""
+    if profile == "cl100k":
+        return _derive_cl100k_words(P, n_total=n_total)
+    if profile == "gpt2":
+        return _derive_gpt2_words(P, n_total=n_total)
     valid, ws, rn, let, num = P["valid"], P["ws"], P["rn"], P["let"], P["num"]
     uc, lc, sp, apo, rnsl = P["uc"], P["lc"], P["sp"], P["apo"], P["rnsl"]
     fold1, fold2 = P["fold1"], P["fold2"]
@@ -796,6 +835,107 @@ def derive_starts_words(
     return starts
 
 
+def _derive_gpt2_words(P: dict, *, n_total: int) -> jnp.ndarray:
+    """Word-space port of scanner_ref._piece_starts_gpt2 (see its
+    docstring for the derivation). P["fold1"]/P["fold2"] carry the
+    CASE-SENSITIVE suffix predicates for this profile."""
+    valid, ws, let, num = P["valid"], P["ws"], P["let"], P["num"]
+    sp, apo, fold1, fold2 = P["sp"], P["apo"], P["fold1"], P["fold2"]
+    pu = ~(ws | let | num) & valid
+    at0 = _at0_like(valid)
+
+    def prev1(x):
+        return prevk(x, 1)
+
+    def nxt1(x):
+        return nxtk(x, 1)
+
+    inv = ~valid
+    same = (
+        (ws & prev1(ws)) | (let & prev1(let)) | (num & prev1(num))
+        | (pu & prev1(pu)) | (inv & prev1(inv))
+    )
+    newreg = ~same
+
+    nonws_next = nxt1(valid & ~ws)
+    last_ws_mid = ws & nonws_next
+    b_ws = (ws & newreg) | (last_ws_mid & prev1(ws))
+    bind_ws = last_ws_mid & sp
+
+    pu_start = pu & newreg
+    ct_ok = apo & pu_start & ~prev1(bind_ws)
+    ct2 = ct_ok & fold1
+    ct3 = ct_ok & fold2 & ~fold1
+    absorbed_letters = prev1(ct2) | prev1(ct3) | prevk(ct3, 2)
+    forced_entry = let & (prevk(ct2, 2) | prevk(ct3, 3))
+
+    base = b_ws | (newreg & ~ws & valid) | forced_entry
+    sup = (prev1(bind_ws) & ~ws) | absorbed_letters
+    starts = base & ~sup & valid
+    return (starts & ~at0) | (valid & at0)
+
+
+def _derive_cl100k_words(P: dict, *, n_total: int) -> jnp.ndarray:
+    """Word-space port of scanner_ref._piece_starts_cl100k (see its
+    docstring for the derivation)."""
+    valid, ws, rn, let, num = P["valid"], P["ws"], P["rn"], P["let"], P["num"]
+    sp, apo, fold1, fold2 = P["sp"], P["apo"], P["fold1"], P["fold2"]
+    pu = ~(ws | let | num) & valid
+    at0 = _at0_like(valid)
+
+    def prev1(x):
+        return prevk(x, 1)
+
+    def nxt1(x):
+        return nxtk(x, 1)
+
+    inv = ~valid
+    same = (
+        (ws & prev1(ws)) | (let & prev1(let)) | (num & prev1(num))
+        | (pu & prev1(pu)) | (inv & prev1(inv))
+    )
+    newreg = ~same
+
+    b_num = num & stride_marks(num & newreg, num, 3, n_total)
+
+    # C4 [\r\n]* tail absorption: rn-runs directly after punct
+    rn_seed = rn & ~prev1(rn) & prev1(pu)
+    absorbed = rn & seg_or_fwd(rn_seed, ~rn)
+
+    # ws rules (cf. ws_rules_b in the o200k derivation; rnsl -> rn,
+    # wd -> let)
+    ws_entry = ws & ~absorbed & (prev1(~ws) | prev1(absorbed) | at0)
+    x = rn & ~absorbed
+    e_x = seg_or_rev(x, newreg)
+    exists_later = nxt1(e_x) & ~nxt1(newreg)
+    is_last_rn = x & ~exists_later
+    b_after_rn = ws & prev1(is_last_rn)
+    in_tail = ws & ~rn & ~absorbed & ~e_x
+    at_last = in_tail & nxt1(newreg & valid)
+    eligible = at_last & (nxt1(let) | (sp & nxt1(pu)))
+    b_ws_split = at_last & prev1(in_tail)
+    bound_into = prev1(eligible)
+    b_ws = ws_entry | b_after_rn | b_ws_split
+
+    pu_start = pu & newreg
+    ct_ok = apo & pu_start & ~bound_into
+    ct2 = ct_ok & fold1
+    ct3 = ct_ok & fold2 & ~fold1
+    ct_any = ct2 | ct3
+    absorbed_letters = prev1(ct2) | prev1(ct3) | prevk(ct3, 2)
+    forced_entry = let & (prevk(ct2, 2) | prevk(ct3, 3)) & ~absorbed_letters
+
+    bind_pu = pu_start & ~bound_into & ~ct_any & nxt1(let)
+
+    base = b_ws | b_num | (newreg & (let | pu)) | forced_entry
+    sup = absorbed | absorbed_letters | bound_into | prev1(bind_pu)
+    starts = base & ~sup & valid
+    return (starts & ~at0) | (valid & at0)
+
+
+_BITS_PROFILES = ("llama4", "nocontract", "cl100k", "gpt2")
+
+
 def piece_starts_bits(
     cp: jnp.ndarray,        # (N,) int32 codepoints (0-padded beyond m)
     m: jnp.ndarray,         # scalar int32 valid length
@@ -811,9 +951,9 @@ def piece_starts_bits(
     range compares instead of the two-level table gather)."""
     if profile is None:
         profile = "llama4" if contractions else "nocontract"
-    if profile not in ("llama4", "nocontract"):
+    if profile not in _BITS_PROFILES:
         raise NotImplementedError(profile)
-    contractions = profile == "llama4"
+    contractions = profile != "nocontract"
 
     n = cp.shape[0]
     n32 = -(-n // 32) * 32
@@ -821,12 +961,14 @@ def piece_starts_bits(
         cp = jnp.concatenate([cp, jnp.zeros((n32 - n,), cp.dtype)])
 
     if ascii_fast:
-        P = _char_masks_planes(cp, m, contractions=contractions)
+        P = _char_masks_planes(cp, m, contractions=contractions,
+                               profile=profile)
     else:
         mk = _char_masks(cp, m, page_ids, pages, contractions=contractions,
-                         ascii_fast=ascii_fast)
+                         ascii_fast=ascii_fast, profile=profile)
         P = {k: pack_mask(v) for k, v in mk.items()}
-    starts = derive_starts_words(P, contractions=contractions, n_total=n32)
+    starts = derive_starts_words(P, contractions=contractions, n_total=n32,
+                                 profile=profile)
     out = unpack_mask(starts)
     return out[:n] if n32 != n else out
 
@@ -857,9 +999,9 @@ def piece_starts_bits_pallas(
 
     if profile is None:
         profile = "llama4" if contractions else "nocontract"
-    if profile not in ("llama4", "nocontract"):
+    if profile not in _BITS_PROFILES:
         raise NotImplementedError(profile)
-    contractions = profile == "llama4"
+    contractions = profile != "nocontract"
 
     squeeze = cp.ndim == 1
     if squeeze:
@@ -878,13 +1020,14 @@ def piece_starts_bits_pallas(
         # uint8 window — garbage tail bytes are masked by the validity
         # plane inside.
         def pack_all(cp_row, m_row):
-            d = _char_masks_planes(cp_row, m_row, contractions=contractions)
+            d = _char_masks_planes(cp_row, m_row, contractions=contractions,
+                                   profile=profile)
             return tuple(d[k] for k in MASK_ORDER)
     else:
         def pack_all(cp_row, m_row):
             mk = _char_masks(
                 cp_row, m_row, page_ids, pages, contractions=contractions,
-                ascii_fast=ascii_fast,
+                ascii_fast=ascii_fast, profile=profile,
             )
             return tuple(pack_mask(mk[k]) for k in MASK_ORDER)
 
@@ -899,7 +1042,7 @@ def piece_starts_bits_pallas(
         _TILE = True
         try:
             out = derive_starts_words(
-                P, contractions=contractions, n_total=n
+                P, contractions=contractions, n_total=n, profile=profile
             )
         finally:
             _TILE = False

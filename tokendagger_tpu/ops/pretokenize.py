@@ -771,6 +771,10 @@ def piece_starts_jax(
     """Piece-start flags, (N,) bool — scanner_ref.piece_starts on device."""
     if profile is None:
         profile = "llama4" if contractions else "nocontract"
+    if profile == "cl100k":
+        return _piece_starts_cl100k_jax(cp, m, page_ids, pages)
+    if profile == "gpt2":
+        return _piece_starts_gpt2_jax(cp, m, page_ids, pages)
     if profile not in ("llama4", "nocontract"):
         raise NotImplementedError(f"no boundary-local derivation for: {profile}")
     contractions = profile == "llama4"
@@ -960,6 +964,144 @@ def piece_starts_jax(
     return starts
 
 
+def _piece_starts_gpt2_jax(cp, m, page_ids, pages):
+    """scanner_ref._piece_starts_gpt2 on device (see its docstring for
+    the derivation). Scans + static shifts only."""
+    N = cp.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    valid = idx < m
+
+    cls = _cls_lookup(cp, page_ids, pages)
+    ws = ((cls & WS) != 0) & valid
+    let = ((cls & LETTER) != 0) & valid
+    num = ((cls & NUM) != 0) & valid
+    pu = ~(ws | let | num) & valid
+    sp = (cp == ord(" ")) & valid
+    apo = (cp == ord("'")) & valid
+
+    def prev(mk, k=1):
+        return _shr(mk, k, False)
+
+    def nxt(mk, k=1):
+        return _shl(mk, k, False)
+
+    K = jnp.where(ws, 0, jnp.where(let, 1, jnp.where(num, 2, 3)))
+    K = jnp.where(valid, K, 4).astype(jnp.int32)
+    newreg = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), K[1:] != K[:-1]]
+    )
+
+    nonws_next = nxt(valid & ~ws)
+    last_ws_mid = ws & nonws_next
+    b_ws = (ws & newreg) | (last_ws_mid & prev(ws))
+    bind_ws = last_ws_mid & sp
+
+    cp1 = jnp.where(idx + 1 < m, _shl(cp, 1, jnp.int32(0)), 0)
+    cp2 = jnp.where(idx + 2 < m, _shl(cp, 2, jnp.int32(0)), 0)
+    one = (
+        (cp1 == ord("s")) | (cp1 == ord("d")) | (cp1 == ord("m"))
+        | (cp1 == ord("t"))
+    )
+    two = (
+        ((cp1 == ord("l")) & (cp2 == ord("l")))
+        | ((cp1 == ord("v")) & (cp2 == ord("e")))
+        | ((cp1 == ord("r")) & (cp2 == ord("e")))
+    )
+    pu_start = pu & newreg
+    ct_ok = apo & pu_start & ~prev(bind_ws)
+    ct2 = ct_ok & one
+    ct3 = ct_ok & two & ~one
+    absorbed_letters = prev(ct2) | prev(ct3) | prev(ct3, 2)
+    forced_entry = let & (prev(ct2, 2) | prev(ct3, 3))
+
+    base = b_ws | (newreg & ~ws & valid) | forced_entry
+    sup = (prev(bind_ws) & ~ws) | absorbed_letters
+    starts = base & ~sup & valid
+    starts = starts.at[0].set(m > 0)
+    return starts
+
+
+def _piece_starts_cl100k_jax(cp, m, page_ids, pages):
+    """scanner_ref._piece_starts_cl100k on device (see its docstring for
+    the derivation). Scans + static shifts only."""
+    N = cp.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    valid = idx < m
+    mI = m.astype(jnp.int32) if hasattr(m, "astype") else jnp.int32(m)
+
+    cls = _cls_lookup(cp, page_ids, pages)
+    ws = ((cls & WS) != 0) & valid
+    rn = ((cls & RN) != 0) & valid
+    let = ((cls & LETTER) != 0) & valid
+    num = ((cls & NUM) != 0) & valid
+    pu = ~(ws | let | num) & valid
+    sp = (cp == ord(" ")) & valid
+    apo = (cp == ord("'")) & valid
+
+    def prev(mk, k=1):
+        return _shr(mk, k, False)
+
+    def nxt(mk, k=1):
+        return _shl(mk, k, False)
+
+    K = jnp.where(ws, 0, jnp.where(let, 1, jnp.where(num, 2, 3)))
+    K = jnp.where(valid, K, 4).astype(jnp.int32)
+    newreg = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), K[1:] != K[:-1]]
+    )
+    reg_start = _prevpos(newreg, idx)
+    nxtreg = _nextpos_m(nxt(newreg), idx, mI)
+    rend = jnp.where(nxtreg < mI, nxtreg + 1, mI)
+
+    # C4 [\r\n]* tail absorption
+    rn_seed = rn & ~prev(rn) & prev(pu)
+    rn_start = _prevpos(~rn, idx) + 1
+    seedpos = _prevpos(rn_seed, idx)
+    absorbed = rn & (seedpos >= rn_start)
+
+    # ws rules
+    ws_entry = ws & ~absorbed & (prev(~ws) | prev(absorbed) | (idx == 0))
+    nextrn_l = _nextpos_m(rn & ~absorbed, idx, mI)
+    is_last_rn = rn & ~absorbed & (_shl(nextrn_l, 1, mI) >= rend)
+    b_after_rn = ws & prev(is_last_rn)
+    in_tail = ws & ~rn & ~absorbed & (nextrn_l >= rend)
+    at_last = in_tail & (idx == rend - 1) & (rend < mI)
+    eligible = at_last & (nxt(let) | (sp & nxt(pu)))
+    b_ws_split = at_last & prev(in_tail)
+    bound_into = prev(eligible)
+    b_ws = ws_entry | b_after_rn | b_ws_split
+
+    # contractions (case-insensitive fold)
+    cp1 = jnp.where(idx + 1 < m, _shl(cp, 1, jnp.int32(0)), 0)
+    cp2 = jnp.where(idx + 2 < m, _shl(cp, 2, jnp.int32(0)), 0)
+    fold_one = (
+        _fold_is(cp1, _S) | _fold_is(cp1, _T) | _fold_is(cp1, _M)
+        | _fold_is(cp1, _D)
+    )
+    fold_two = (
+        (_fold_is(cp1, _R) & _fold_is(cp2, _E))
+        | (_fold_is(cp1, _V) & _fold_is(cp2, _E))
+        | (_fold_is(cp1, _L) & _fold_is(cp2, _L))
+    )
+    pu_start = pu & newreg
+    ct_ok = apo & pu_start & ~bound_into
+    ct2 = ct_ok & fold_one
+    ct3 = ct_ok & fold_two & ~fold_one
+    ct_any = ct2 | ct3
+    absorbed_letters = prev(ct2) | prev(ct3) | prev(ct3, 2)
+    forced_entry = let & (prev(ct2, 2) | prev(ct3, 3)) & ~absorbed_letters
+
+    bind_pu = pu_start & ~bound_into & ~ct_any & nxt(let)
+
+    b_num = num & (((idx - reg_start) % 3) == 0)
+
+    base = b_ws | b_num | (newreg & (let | pu)) | forced_entry
+    sup = absorbed | absorbed_letters | bound_into | prev(bind_pu)
+    starts = base & ~sup & valid
+    starts = starts.at[0].set(m > 0)
+    return starts
+
+
 @jax.jit
 def compact_pieces(starts, byte_of_char, nbytes):
     """Compact char-level start flags into piece (start, len) byte arrays."""
@@ -1040,11 +1182,11 @@ def compute_starts(
 ) -> jnp.ndarray:
     """Char-level piece-start flags for any profile (staged jits).
 
-    llama4/nocontract use the boundary-local derivation (scans and static
-    shifts only — no pointer-chase, no large-array gathers); profiles
-    without one fall back to match_lengths + pointer-doubling chain."""
+    All four profiles use boundary-local derivations (scans and static
+    shifts only — no pointer-chase, no large-array gathers); an unknown
+    profile would fall back to match_lengths + pointer-doubling chain."""
     eff = profile or ("llama4" if contractions else "nocontract")
-    if eff in ("llama4", "nocontract"):
+    if eff in ("llama4", "nocontract", "cl100k", "gpt2"):
         import jax
 
         if jax.default_backend() != "cpu":

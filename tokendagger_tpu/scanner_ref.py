@@ -487,11 +487,203 @@ def piece_starts(
         profile = "llama4" if contractions else "nocontract"
     if profile in ("llama4", "nocontract"):
         return _piece_starts_llama(cp, contractions=profile == "llama4")
-    # cl100k/gpt2 piece pattern differs enough (\r\n handling, number caps,
-    # contraction suffixes without the A4 tail) that their boundary-local
-    # rules are a separate derivation; those profiles use the chained
-    # formulation until one lands.
+    if profile == "cl100k":
+        return _piece_starts_cl100k(cp)
+    if profile == "gpt2":
+        return _piece_starts_gpt2(cp)
     raise NotImplementedError(f"no boundary-local derivation for: {profile}")
+
+
+def _piece_starts_gpt2(cp: np.ndarray) -> np.ndarray:
+    r"""Boundary-local derivation for the gpt2/r50k/p50k pattern
+    (see _match_lengths_gpt2). Far simpler than the o200k family: no
+    newline alternative, no punct tail, no case-kind analysis.
+
+    Piece structure: the text partitions into maximal class runs
+    K in {ws, let, num, pu}; G2/G3/G4 consume a full run (with an
+    optional literal-space prefix), G5/G6 split a ws run as
+    [run-1 | last char], and G1 carves `'X`/`'XX` contraction pieces at
+    apostrophes that head a punct run. Boundary rules:
+
+      * every non-ws run start, unless bound by a preceding space piece
+        (the space is then the piece start: \x20? prefix of G2/G3/G4) or
+        absorbed as a contraction suffix letter;
+      * ws run entry; plus the run's last char when the run has >= 2
+        chars and does not end at EOS (G5 holds one char back);
+      * the held-back (or single) last ws char binds into the next run
+        iff it is a literal space (all three non-ws alternatives take
+        the \x20? prefix) and does not end at EOS;
+      * `'` heading a punct run, not space-bound, followed by the
+        case-SENSITIVE suffix s/d/m/t (2 chars) or ll/ve/re (3 chars)
+        is a contraction piece: the suffix letters are absorbed, and a
+        piece is forced right after them (mid-letter-run entry).
+    """
+    n = len(cp)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    classes, _ = get_tables()
+    idx = np.arange(n, dtype=np.int64)
+    cls = classes[cp]
+    ws = (cls & WS) != 0
+    let = (cls & LETTER) != 0
+    num = (cls & NUM) != 0
+    pu = ~(ws | let | num)
+    sp = cp == ord(" ")
+    apo = cp == ord("'")
+
+    def prev(m, k=1):
+        return _shift_right(m, k, False)
+
+    def nxt(m, k=1):
+        return _shift_left(m, k, False)
+
+    # region partition
+    K = np.where(ws, 0, np.where(let, 1, np.where(num, 2, 3))).astype(np.int8)
+    newreg = np.ones(n, bool)
+    newreg[1:] = K[1:] != K[:-1]
+
+    # ws runs: entry + held-back last char (G5), binding by literal space
+    nonws_next = nxt(~ws)               # next char exists and is non-ws
+    last_ws_mid = ws & nonws_next       # last ws char of a run not at EOS
+    b_ws = (ws & newreg) | (last_ws_mid & prev(ws))
+    bind_ws = last_ws_mid & sp          # space prefix of G2/G3/G4
+
+    # contractions (case-sensitive ASCII letters)
+    cpp = np.concatenate([cp.astype(np.int64), np.zeros(2, np.int64)])
+    c1 = cpp[1 : n + 1]
+    c2 = cpp[2 : n + 2]
+    one = np.isin(c1, (ord("s"), ord("d"), ord("m"), ord("t")))
+    two = (
+        ((c1 == ord("l")) & (c2 == ord("l")))
+        | ((c1 == ord("v")) & (c2 == ord("e")))
+        | ((c1 == ord("r")) & (c2 == ord("e")))
+    )
+    pu_start = pu & newreg
+    ct_ok = apo & pu_start & ~prev(bind_ws)
+    ct2 = ct_ok & one
+    ct3 = ct_ok & two & ~one
+    absorbed_letters = prev(ct2) | prev(ct3) | prev(ct3, 2)
+    forced_entry = let & (prev(ct2, 2) | prev(ct3, 3))
+
+    base = b_ws | (newreg & ~ws) | forced_entry
+    sup = (prev(bind_ws) & ~ws) | absorbed_letters
+    starts = base & ~sup
+    starts[0] = True
+    return starts
+
+
+def _piece_starts_cl100k(cp: np.ndarray) -> np.ndarray:
+    r"""Boundary-local derivation for the cl100k_base pattern
+    (see _match_lengths_cl100k).
+
+    Structure relative to the o200k family derivation: letter runs have
+    no case-kind analysis (single \p{L}+ class, marks are punct), punct
+    runs are consumed whole by the possessive C4 (no A1-mark
+    alternation interior), the C4 tail is [\r\n]* (no '/'), digits tile
+    3-at-a-time, the contraction is a standalone leading alternative
+    (case-insensitive via the fold table), and C2's prefix class
+    [^\r\n\p{L}\p{N}] admits any non-newline whitespace before a word.
+
+    Boundary rules:
+      * digit runs: entry + every 3rd char (nothing binds into digits);
+      * punct runs: entry, unless bound by an eligible preceding space;
+        no interior starts (C4 is possessive over the whole run);
+      * a maximal [\r\n] run directly preceded by punct is absorbed by
+        that C4 piece's tail;
+      * ws runs (minus absorbed newlines): entry; the char after the
+        run's last newline (C5 backtracks \s* to it); the run's last
+        char when the pure-ws tail has >= 2 chars and does not end at
+        EOS; the last char binds into a following letter run (any
+        non-newline ws: C2 prefix) or, for a literal space, a following
+        punct run (C4 prefix);
+      * letter runs: entry, unless bound by an eligible ws char or by a
+        single-char punct run piece head (C2 prefix), or absorbed as a
+        contraction suffix; forced entry after an absorbed suffix;
+      * `'` heading a punct run, not space-bound, followed by the
+        case-insensitive fold suffix, is a contraction piece.
+    """
+    n = len(cp)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    classes, _ = get_tables()
+    idx = np.arange(n, dtype=np.int64)
+    cls = classes[cp]
+    ws = (cls & WS) != 0
+    rn = (cls & RN) != 0
+    let = (cls & LETTER) != 0
+    num = (cls & NUM) != 0
+    pu = ~(ws | let | num)
+    sp = cp == ord(" ")
+    apo = cp == ord("'")
+
+    def prev(m, k=1):
+        return _shift_right(m, k, False)
+
+    def nxt(m, k=1):
+        return _shift_left(m, k, False)
+
+    # region partition (rn is inside ws)
+    K = np.where(ws, 0, np.where(let, 1, np.where(num, 2, 3))).astype(np.int8)
+    newreg = np.ones(n, bool)
+    newreg[1:] = K[1:] != K[:-1]
+    reg_start = _prevpos(newreg, idx)
+    nxtreg = _nextpos(np.concatenate([newreg[1:], np.zeros(1, bool)]), idx, n)
+    rend = np.where(nxtreg < n, nxtreg + 1, n)
+
+    # C4 [\r\n]* tail absorption: a maximal rn-run directly after punct
+    rn_seed = rn & ~prev(rn) & prev(pu)
+    rn_start = _prevpos(~rn, idx) + 1
+    seedpos = _prevpos(rn_seed, idx)
+    absorbed = rn & (seedpos >= rn_start)
+
+    # ws rules (cf. _piece_starts_llama.ws_rules, rnsl -> rn, wd -> let)
+    ws_entry = ws & ~absorbed & (prev(~ws) | prev(absorbed) | (idx == 0))
+    nextrn_l = _nextpos(rn & ~absorbed, idx, n)
+
+    def at(arr, pos, fill):
+        out = np.full(len(pos), fill, dtype=arr.dtype)
+        ok = (pos >= 0) & (pos < n)
+        out[ok] = arr[pos[ok]]
+        return out
+
+    is_last_rn = rn & ~absorbed & (at(nextrn_l, idx + 1, n) >= rend)
+    b_after_rn = ws & prev(is_last_rn)
+    in_tail = ws & ~rn & ~absorbed & (nextrn_l >= rend)
+    at_last = in_tail & (idx == rend - 1) & (rend < n)
+    eligible = at_last & (nxt(let) | (sp & nxt(pu)))
+    b_ws_split = at_last & prev(in_tail)
+    bound_into = prev(eligible)
+    b_ws = ws_entry | b_after_rn | b_ws_split
+
+    # contractions: `'` heading a punct run, not bound by a space
+    fold = _fold_id_table()
+    cpp = np.concatenate([cp.astype(np.int64), np.zeros(2, np.int64)])
+    f1 = fold[cpp[1 : n + 1]]
+    f2 = fold[cpp[2 : n + 2]]
+    fold_one = (f1 == _S) | (f1 == _T) | (f1 == _M) | (f1 == _D)
+    fold_two = ((f1 == _R) & (f2 == _E)) | ((f1 == _V) & (f2 == _E)) | (
+        (f1 == _L) & (f2 == _L)
+    )
+    pu_start = pu & newreg
+    ct_ok = apo & pu_start & ~bound_into
+    ct2 = ct_ok & fold_one
+    ct3 = ct_ok & fold_two & ~fold_one
+    ct_any = ct2 | ct3
+    absorbed_letters = prev(ct2) | prev(ct3) | prev(ct3, 2)
+    forced_entry = let & (prev(ct2, 2) | prev(ct3, 3)) & ~absorbed_letters
+
+    # C2 prefix binding by a single-char punct piece head: a punct run
+    # start that is itself a piece start, is not a contraction, and is
+    # directly followed by a letter (run length 1 by construction)
+    bind_pu = pu_start & ~bound_into & ~ct_any & nxt(let)
+
+    b_num = num & (((idx - reg_start) % 3) == 0)
+
+    base = b_ws | b_num | (newreg & (let | pu)) | forced_entry
+    sup = absorbed | absorbed_letters | bound_into | prev(bind_pu)
+    starts = base & ~sup
+    starts[0] = True
+    return starts
 
 
 def _piece_starts_llama(cp: np.ndarray, *, contractions: bool) -> np.ndarray:
