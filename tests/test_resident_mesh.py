@@ -1,6 +1,12 @@
 """The flagship join-first pipeline under shard_map on a virtual
 8-device mesh: per-window ids bit-identical to the host oracle, psum
-counters equal to global totals on every shard."""
+counters equal to global totals on every shard.
+
+Covers the full impl/profile configuration surface (VERDICT r4 item 4 —
+the mesh form must be as input-agnostic as the reference's thread DP):
+ASCII flagship (llama4 + nocontract profiles) and the general non-ASCII
+tiled path (emoji corpus, llama4 + nocontract profiles).
+"""
 
 import numpy as np
 import pytest
@@ -14,8 +20,7 @@ from tokendagger_tpu.parallel.mesh import get_mesh
 WINDOW = 1 << 15  # 32 KB: multiple of the butterfly block and bit tile
 
 
-@pytest.fixture(scope="module")
-def setup(llama4_assets):
+def _build(ranks, specials, **kw):
     from tokendagger_tpu.ops.fused import caps_for
     from tokendagger_tpu.parallel.resident_mesh import (
         mesh_resident_pipeline,
@@ -23,34 +28,45 @@ def setup(llama4_assets):
     from tokendagger_tpu.tables import build_tables
     from tokendagger_tpu.unicode_tables import get_two_level_tables
 
-    _, ranks, specials = llama4_assets
     tables = build_tables(ranks, specials)
     page_ids, pages = map(jnp.asarray, get_two_level_tables())
     mesh = get_mesh(8)
     p_cap = caps_for(WINDOW)["p_cap"]
-    fn, shardings = mesh_resident_pipeline(
+    return mesh_resident_pipeline(
         mesh, tables, page_ids, pages,
-        window=WINDOW, p_cap=p_cap, interpret=True,
+        window=WINDOW, p_cap=p_cap, interpret=True, **kw,
     )
-    return ranks, specials, fn, shardings
 
 
-def test_sharded_pipeline_bit_exact(setup, corpus_lorem):
-    from tokendagger_tpu.hostengine import HostEngine, byte_pair_merge
-    from tokendagger_tpu.ops.fused import SENTINEL
-    from tokendagger_tpu.vocab import LLAMA4_PATTERN
-
-    ranks, specials, fn, shardings = setup
-    corpus = corpus_lorem.encode()
-    B = 8
+def _stage_windows(corpus: bytes, B: int):
+    """B char-aligned WINDOW-byte windows tiled over the corpus."""
     wins = np.zeros((B, WINDOW), np.uint8)
     nbs = np.zeros((B,), np.int32)
     for b in range(B):
         lo = (b * WINDOW) % max(1, len(corpus) - WINDOW)
         chunk = corpus[lo : lo + WINDOW]
-        wins[b, : len(chunk)] = np.frombuffer(chunk, np.uint8)
-        nbs[b] = len(chunk)
+        arr = np.frombuffer(chunk, np.uint8)
+        k = 0
+        while k < len(arr) and (arr[k] & 0xC0) == 0x80:
+            k += 1
+        arr = arr[k:]
+        e = len(arr)
+        while e > 0 and (arr[e - 1] & 0x80):
+            if (arr[e - 1] & 0xC0) == 0xC0:
+                e -= 1
+                break
+            e -= 1
+        arr = arr[:e]
+        wins[b, : len(arr)] = arr
+        nbs[b] = len(arr)
+    return wins, nbs
 
+
+def _verify(fn, shardings, wins, nbs, ranks, specials, pattern):
+    from tokendagger_tpu.hostengine import HostEngine, byte_pair_merge
+    from tokendagger_tpu.ops.fused import SENTINEL
+
+    B = wins.shape[0]
     devs = jax.device_put(jnp.asarray(wins), shardings[0])
     nbsj = jax.device_put(jnp.asarray(nbs), shardings[1])
     out = fn(devs, nbsj)
@@ -61,7 +77,7 @@ def test_sharded_pipeline_bit_exact(setup, corpus_lorem):
     assert int(total_bytes) == int(nbs.sum())
     assert int(total_tokens) == int(np.asarray(n_kept).sum())
 
-    host = HostEngine(LLAMA4_PATTERN, ranks, specials)
+    host = HostEngine(pattern, ranks, specials)
     rdict = dict(ranks)
     for b in range(B):
         ids = np.asarray(flat[b][: int(n_kept[b])])
@@ -85,3 +101,54 @@ def test_sharded_pipeline_bit_exact(setup, corpus_lorem):
             ids = np.concatenate(parts)
         want = host.encode_ordinary(window_b.decode("utf-8"))
         assert ids.tolist() == want, f"window {b} mismatch"
+
+
+@pytest.fixture(scope="module")
+def assets(llama4_assets):
+    _, ranks, specials = llama4_assets
+    return ranks, specials
+
+
+def test_sharded_pipeline_bit_exact(assets, corpus_lorem):
+    from tokendagger_tpu.vocab import LLAMA4_PATTERN
+
+    ranks, specials = assets
+    fn, shardings = _build(ranks, specials)
+    wins, nbs = _stage_windows(corpus_lorem.encode(), 8)
+    _verify(fn, shardings, wins, nbs, ranks, specials, LLAMA4_PATTERN)
+
+
+def test_sharded_pipeline_nocontract(assets, corpus_lorem):
+    """The Tekken scanner profile (nocontract) under shard_map — same
+    ASCII flagship form, different boundary rules."""
+    from tokendagger_tpu.vocab import TEKKEN_PATTERN
+
+    ranks, specials = assets
+    fn, shardings = _build(ranks, specials, profile="nocontract")
+    wins, nbs = _stage_windows(corpus_lorem.encode(), 8)
+    _verify(fn, shardings, wins, nbs, ranks, specials, TEKKEN_PATTERN)
+
+
+@pytest.mark.parametrize("profile,pattern_name", [
+    ("llama4", "LLAMA4_PATTERN"),
+    ("nocontract", "TEKKEN_PATTERN"),
+])
+def test_sharded_pipeline_general_emoji(assets, profile, pattern_name):
+    """The general (non-ASCII) tiled path under shard_map: butterfly
+    UTF-8 decode, class-gather starts, recorded-route char->byte
+    expansion — bit-exact on the reference emoji corpus."""
+    import pathlib
+
+    from tokendagger_tpu import vocab as V
+
+    emo = pathlib.Path("/root/reference/tests/input/emoji.txt")
+    if not emo.exists():
+        pytest.skip("emoji corpus unavailable")
+    ranks, specials = assets
+    fn, shardings = _build(
+        ranks, specials, impl="general", profile=profile,
+        c_cap=WINDOW // 2,
+    )
+    wins, nbs = _stage_windows(emo.read_bytes(), 8)
+    _verify(fn, shardings, wins, nbs, ranks, specials,
+            getattr(V, pattern_name))

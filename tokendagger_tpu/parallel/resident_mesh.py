@@ -36,6 +36,9 @@ def mesh_resident_pipeline(
     *,
     window: int,
     p_cap: int,
+    impl: str = "ascii",
+    profile: str = "llama4",
+    c_cap: int | None = None,
     interpret: bool = False,
 ):
     """Build a jitted ``(windows (B, N) uint8, nbytes (B,)) ->
@@ -46,7 +49,21 @@ def mesh_resident_pipeline(
     ``interpret`` runs the Pallas kernels in interpret mode (CPU tests).
     Returns (fn, in_shardings) — callers place inputs with
     ``jax.device_put(x, in_shardings[i])`` for zero-copy dispatch.
+
+    Same ``impl``/``profile``/capacity configuration as resident.py
+    (input-agnostic parallelism, like the reference's thread DP at
+    /root/reference/tokendagger/wrapper.py:234-235):
+
+    * impl="ascii": the flagship all-ASCII form — decode is a widening
+      fused into the bit-plane starts kernel (plane-space masks over the
+      raw bytes). Caller must guarantee every window is pure ASCII.
+    * impl="general": arbitrary UTF-8 — tiled butterfly decode, class
+      table gathers in the starts kernel, char->byte flag expansion by
+      recorded-route replay. ``c_cap`` sizes the char-indexed stages
+      (defaults to ``window``; must be a multiple of 4096).
+    * profile: any scanner profile (llama4 / nocontract / cl100k / gpt2).
     """
+    from ..ops import pretokenize as PT
     from ..ops.bitplane import piece_starts_bits_pallas
     from ..ops.compact_pallas import (
         compact_piece_keys_butterfly, finalize_butterfly,
@@ -56,19 +73,39 @@ def mesh_resident_pipeline(
     vhash_rows = jnp.asarray(tables.vhash8_rows)
     vhash_mask = tables.vhash8_mask
     trim = jnp.int32(window)
+    contractions = profile != "nocontract"
     # same handoff as resident.py's flagship config: the ASCII decode is
     # just a widening fused into the starts stage, and the flags ride as
     # packed plane words when the window is 32 * the butterfly block
-    packed = window == 32 * 256 * 128
+    packed = impl == "ascii" and window == 32 * 256 * 128
+    cc = c_cap or window
+    assert cc % 4096 == 0, cc
+
+    def local_starts_bytes(devs, nbs):
+        """Byte-level piece-start flags (or packed planes) per impl."""
+        if impl == "ascii":
+            # ascii_fast consumes the raw byte window (plane-space
+            # masks; validity plane covers the garbage tail, no int32
+            # widening); char == byte so the flags are byte flags
+            return piece_starts_bits_pallas(
+                devs, nbs, page_ids, pages, contractions=contractions,
+                profile=profile, ascii_fast=True, packed_out=packed,
+                interpret=interpret,
+            )
+        cp, lead, m, route = PT.utf8_decode_tiles(
+            devs, nbs, c_cap=cc, interpret=interpret,
+        )
+        starts_c = piece_starts_bits_pallas(
+            cp, m, page_ids, pages, contractions=contractions,
+            profile=profile, interpret=interpret,
+        )
+        return PT.expand_starts_replay(
+            starts_c, lead, route, interpret=interpret,
+        )
 
     def local_pipeline(devs, nbs):
-        # devs (b_local, N) uint8; nbs (b_local,) — ascii_fast consumes
-        # the raw byte window (plane-space masks; validity plane covers
-        # the garbage tail, no int32 widening)
-        starts = piece_starts_bits_pallas(
-            devs, nbs, page_ids, pages, contractions=True, profile="llama4",
-            ascii_fast=True, packed_out=packed, interpret=interpret,
-        )
+        # devs (b_local, N) uint8; nbs (b_local,)
+        starts = local_starts_bytes(devs, nbs)
         sb, pl_, k0, k1, k2, k3, npc = compact_piece_keys_butterfly(
             starts, devs, nbs, p_cap, packed=packed, interpret=interpret,
         )
