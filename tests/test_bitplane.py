@@ -394,3 +394,40 @@ def test_bits_pallas_ascii_planes_uint8(tables):
             PT.piece_starts_jax(cp, mm, page_ids, pages, profile="llama4")
         )
         assert np.array_equal(want, got[b]), t[:40]
+
+
+def test_class_lookup_hot_exact(tables):
+    """class_lookup_hot (hot-codepoint compare + compacted-unknown gather
+    + replay expand) must equal the plain class gather on valid slots,
+    and flag overflow instead of corrupting when u_cap is too small."""
+    page_ids, pages = tables
+    rng = random.Random(3)
+    B, C = 2, 32768
+    pool = [0x20, 0x200D, 0xFE0F, 0x1F3FB, ord("a"), ord("!"), 0x65E5,
+            0x1F600, 0x301, 0x41F]
+    rows, ms = [], []
+    for b in range(B):
+        m = rng.randrange(C // 2, C)
+        row = [rng.choice(pool) if rng.random() < 0.8
+               else rng.randrange(1, 0x2FFFF) for _ in range(m)]
+        rows.append(row + [0] * (C - m))
+        ms.append(m)
+    cp = jnp.asarray(np.asarray(rows, np.int32))
+    m = jnp.asarray(np.asarray(ms, np.int32))
+    hot = tuple(pool[:6])
+    cls, ovf = BP.class_lookup_hot(
+        cp, m, page_ids, pages, hot_cps=hot, u_cap=C // 2, interpret=True,
+    )
+    assert not bool(np.asarray(ovf).any())
+    want = np.asarray(PT._cls_lookup(cp, page_ids, pages))
+    got = np.asarray(cls)
+    for b in range(B):
+        assert np.array_equal(got[b, : ms[b]], want[b, : ms[b]])
+
+    # undersized u_cap must raise the overflow flag (exact-fallback
+    # contract), not silently truncate
+    _, ovf2 = BP.class_lookup_hot(
+        cp, m, page_ids, pages, hot_cps=(0x200D,), u_cap=4096,
+        interpret=True,
+    )
+    assert bool(np.asarray(ovf2).all())

@@ -162,6 +162,15 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ]
+        lib.td_set_specials.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.td_find_specials.restype = ctypes.c_int64
+        lib.td_find_specials.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
         lib.td_encode_batch.restype = ctypes.c_int64
         lib.td_encode_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -330,6 +339,60 @@ class NativeEngine:
                 self._py = mod
             except Exception:  # noqa: BLE001
                 self._py = None
+
+    def set_specials(self, specials: dict[str, int]) -> bool:
+        """Install the native special-token scan table (the single-pass
+        byte-space scanner backing find_specials). Returns False when the
+        set is empty or not installable (caller keeps the Python scan)."""
+        self._sp_ok = False
+        if not specials:
+            return False
+        keys = [s.encode("utf-8") for s in specials]
+        if any(not k or len(k) > 255 for k in keys):
+            return False
+        if sum(len(k) for k in keys) > (1 << 24):
+            return False
+        blob = b"".join(keys)
+        self._sp_blob = np.frombuffer(blob, dtype=np.uint8)
+        lens = np.fromiter((len(k) for k in keys), dtype=np.int32,
+                           count=len(keys))
+        offs = np.zeros(len(keys), dtype=np.int64)
+        offs[1:] = np.cumsum(lens[:-1], dtype=np.int64)
+        self._sp_offs, self._sp_lens = offs, lens
+        self._sp_ids = np.fromiter(
+            (specials[s] for s in specials), dtype=np.int32, count=len(keys)
+        )
+        self._lib.td_set_specials(
+            self._h, self._sp_blob.ctypes.data, offs.ctypes.data,
+            lens.ctypes.data, self._sp_ids.ctypes.data, len(keys),
+        )
+        self._sp_ok = True
+        return True
+
+    def find_specials(self, data: bytes):
+        """(byte_pos int64 array, id int32 array) of every installed
+        special's occurrence — hostengine.find_all_specials selection
+        semantics over the FULL installed set. None => caller falls back
+        (no table installed)."""
+        if not getattr(self, "_sp_ok", False):
+            return None
+        n = len(data)
+        if n == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int32)
+        cap = 1024
+        while True:
+            pos = np.empty(cap, np.int64)
+            ids = np.empty(cap, np.int32)
+            cnt = self._lib.td_find_specials(
+                self._h, data, n, pos.ctypes.data, ids.ctypes.data, cap
+            )
+            if cnt == -3:
+                return None
+            if cnt >= 0:
+                return pos[:cnt], ids[:cnt]
+            cap *= 8  # -1: capacity overflow; worst case one match/byte
+            if cap > 8 * n + 1024:
+                cap = n + 1
 
     def __del__(self):
         h = getattr(self, "_h", None)

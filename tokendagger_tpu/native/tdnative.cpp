@@ -71,6 +71,33 @@ struct Tables {
   // Covers every lookup of the merge's init pass (all parts are bytes) in
   // 256 KB of cache instead of the big id-pair hash.
   std::vector<int32_t> pair_lut;  // 256*256
+  // special-token scanner (byte-space): leading-bigram/first-byte bitmaps
+  // + first-4-byte bucket dispatch, mirroring
+  // hostengine.find_all_specials semantics (itself the single-pass form
+  // of the reference's cached per-token find loop, tiktoken.cpp:130-154).
+  // Candidates resolve by walking ONLY the specials sharing their first
+  // 4 bytes (length-descending), not every distinct length — the
+  // all-lengths FNV form measured 0.4 µs per special-dense candidate.
+  // Installed by td_set_specials.
+  struct SpEntry {
+    uint32_t off;   // blob offset
+    int32_t len;
+    int32_t id;
+    int32_t next;   // chain, length-descending
+  };
+  struct Sp4Slot {
+    uint32_t key;   // first 4 bytes (LE)
+    int32_t head;   // entry index, -1 = empty slot
+  };
+  std::vector<uint64_t> sp_big;       // 65536-bit leading-bigram bitmap
+  uint64_t sp_one[4] = {0, 0, 0, 0};  // 256-bit 1-byte-special bitmap
+  std::vector<SpEntry> sp_entries;    // specials with len >= 4
+  std::vector<Sp4Slot> sp_map4;       // open-addressing first4 -> chain
+  uint64_t sp_map4_mask = 0;
+  std::vector<SpEntry> sp_short;      // len < 4, length-descending
+  const uint8_t* sp_blob = nullptr;
+  bool sp_ready = false;
+  int sp_first = -1;                  // sole distinct first byte, or -1
 };
 
 // scanner profiles, carried in Tables.contractions (backwards compatible:
@@ -609,6 +636,145 @@ void td_set_vocab(void* h, const uint8_t* keys_blob, const int64_t* offs,
       t->pair_lut[(size_t)k[0] * 256 + k[1]] = ranks[i];
     }
   }
+}
+
+// Install the special-token scan table: blob holds every special token's
+// UTF-8 bytes concatenated; offs/lens/ids are parallel arrays of length n
+// (ids = the special RANKS). Borrowed blob, same 24-bit-offset packing as
+// td_set_vocab. Silently not installed (td_find_specials then returns -3,
+// caller keeps the Python scan) when a token is empty/>255 B or the blob
+// exceeds 16 MB.
+void td_set_specials(void* h, const uint8_t* blob, const int64_t* offs,
+                     const int32_t* lens, const int32_t* ids, int64_t n) {
+  Tables* t = (Tables*)h;
+  t->sp_ready = false;
+  if (n <= 0) return;
+  if ((uint64_t)(offs[n - 1] + lens[n - 1]) > (1u << 24)) return;
+  for (int64_t i = 0; i < n; ++i)
+    if (lens[i] < 1 || lens[i] > 255) return;
+  t->sp_big.assign(1024, 0);
+  t->sp_one[0] = t->sp_one[1] = t->sp_one[2] = t->sp_one[3] = 0;
+  t->sp_blob = blob;
+  t->sp_entries.clear();
+  t->sp_short.clear();
+  uint64_t cap = 4;
+  while (cap < (uint64_t)(n * 2)) cap <<= 1;
+  t->sp_map4.assign(cap, Tables::Sp4Slot{0, -1});
+  t->sp_map4_mask = cap - 1;
+  int first = -1;
+  bool first_unique = true;
+  // ascending-length insert + push-front chains => every chain walks
+  // length-DESCENDING (the longest-at-tie selection order)
+  std::vector<int64_t> order(n);
+  for (int64_t i = 0; i < n; ++i) order[i] = i;
+  std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+    return lens[a] < lens[b];
+  });
+  for (int64_t oi = 0; oi < n; ++oi) {
+    int64_t i = order[oi];
+    const uint8_t* k = blob + offs[i];
+    if (lens[i] == 1) {
+      t->sp_one[k[0] >> 6] |= 1ull << (k[0] & 63);
+    } else {
+      uint32_t bg = ((uint32_t)k[0] << 8) | k[1];
+      t->sp_big[bg >> 6] |= 1ull << (bg & 63);
+    }
+    if (first == -1) first = k[0];
+    else if (first != (int)k[0]) first_unique = false;
+    Tables::SpEntry e{(uint32_t)offs[i], lens[i], ids[i], -1};
+    if (lens[i] < 4) {
+      t->sp_short.insert(t->sp_short.begin(), e);  // keep descending
+      continue;
+    }
+    uint32_t key;
+    std::memcpy(&key, k, 4);
+    uint64_t j = (key * 0x9E3779B1u) & t->sp_map4_mask;
+    while (t->sp_map4[j].head >= 0 && t->sp_map4[j].key != key)
+      j = (j + 1) & t->sp_map4_mask;
+    e.next = t->sp_map4[j].head >= 0 ? t->sp_map4[j].head : -1;
+    t->sp_entries.push_back(e);
+    t->sp_map4[j] = Tables::Sp4Slot{key, (int32_t)t->sp_entries.size() - 1};
+  }
+  t->sp_first = first_unique ? first : -1;
+  t->sp_ready = true;
+}
+
+// Scan for ALL installed specials (the allowed == full-set case; subsets
+// keep the Python scan) with hostengine.find_all_specials semantics:
+// leftmost match wins, same-position ties go to the longest token,
+// matches never overlap. Writes (byte_pos, id) pairs; returns the count,
+// -1 if cap is too small, -3 if no table is installed.
+int64_t td_find_specials(const void* h, const uint8_t* data, int64_t n,
+                         int64_t* out_pos, int32_t* out_id, int64_t cap) {
+  const Tables* t = (const Tables*)h;
+  if (!t->sp_ready) return -3;
+  const bool has1 =
+      (t->sp_one[0] | t->sp_one[1] | t->sp_one[2] | t->sp_one[3]) != 0;
+  int64_t cnt = 0;
+  int64_t i = 0;
+  while (i < n) {
+    if (t->sp_first >= 0 && !has1) {
+      // one distinct first byte (the common "<|...|>" family): vectorized
+      // skip to its next occurrence
+      const void* p = std::memchr(data + i, t->sp_first, (size_t)(n - i));
+      if (!p) break;
+      i = (const uint8_t*)p - data;
+    }
+    bool cand = false;
+    if (i + 1 < n) {
+      uint32_t bg = ((uint32_t)data[i] << 8) | data[i + 1];
+      cand = (t->sp_big[bg >> 6] >> (bg & 63)) & 1;
+    }
+    if (!cand && has1) cand = (t->sp_one[data[i] >> 6] >> (data[i] & 63)) & 1;
+    if (cand) {
+      int32_t m_len = 0, m_id = 0;
+      // >= 4-byte specials sharing this position's first 4 bytes,
+      // walked length-descending (first 4 bytes known equal => memcmp
+      // only the tail). All of these outrank any short special at the
+      // same position, so order is exactly longest-first.
+      if (i + 4 <= n) {
+        uint32_t key;
+        std::memcpy(&key, data + i, 4);
+        uint64_t j = (key * 0x9E3779B1u) & t->sp_map4_mask;
+        while (t->sp_map4[j].head >= 0 && t->sp_map4[j].key != key)
+          j = (j + 1) & t->sp_map4_mask;
+        if (t->sp_map4[j].head >= 0) {
+          for (int32_t e = t->sp_map4[j].head; e >= 0;
+               e = t->sp_entries[e].next) {
+            const Tables::SpEntry& s = t->sp_entries[e];
+            if (i + s.len <= n &&
+                (s.len == 4 ||
+                 std::memcmp(t->sp_blob + s.off + 4, data + i + 4,
+                             (size_t)(s.len - 4)) == 0)) {
+              m_len = s.len;
+              m_id = s.id;
+              break;
+            }
+          }
+        }
+      }
+      if (m_len == 0) {
+        for (const Tables::SpEntry& s : t->sp_short) {
+          if (i + s.len <= n &&
+              std::memcmp(t->sp_blob + s.off, data + i, (size_t)s.len) == 0) {
+            m_len = s.len;
+            m_id = s.id;
+            break;
+          }
+        }
+      }
+      if (m_len) {
+        if (cnt >= cap) return -1;
+        out_pos[cnt] = i;
+        out_id[cnt] = m_id;
+        ++cnt;
+        i += m_len;
+        continue;
+      }
+    }
+    ++i;
+  }
+  return cnt;
 }
 
 // Pretokenize: write piece start byte offsets into `starts` (capacity cap,

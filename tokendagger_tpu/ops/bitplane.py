@@ -546,7 +546,8 @@ def _char_masks_planes(by, m, *, contractions: bool,
 
 
 def _char_masks(cp, m, page_ids, pages, *, contractions: bool,
-                ascii_fast: bool = False, profile: str = "llama4"):
+                ascii_fast: bool = False, profile: str = "llama4",
+                cls=None):
     from .pretokenize import _cls_lookup, _fold_is, _shl
 
     n = cp.shape[0]
@@ -601,7 +602,8 @@ def _char_masks(cp, m, page_ids, pages, *, contractions: bool,
             valid=valid, ws=ws, rn=rn, let=let, num=num, uc=uc, lc=lc,
             sp=sp, apo=apo, rnsl=rnsl, fold1=fold_one, fold2=fold_two,
         )
-    cls = _cls_lookup(cp, page_ids, pages)
+    if cls is None:
+        cls = _cls_lookup(cp, page_ids, pages)
     ws = ((cls & WS) != 0) & valid
     rn = ((cls & RN) != 0) & valid
     let = ((cls & LETTER) != 0) & valid
@@ -936,6 +938,76 @@ def _derive_cl100k_words(P: dict, *, n_total: int) -> jnp.ndarray:
 _BITS_PROFILES = ("llama4", "nocontract", "cl100k", "gpt2")
 
 
+def class_lookup_hot(
+    cp: jnp.ndarray,        # (B, C) int32 codepoints (0-padded beyond m)
+    m: jnp.ndarray,         # (B,) int32 valid char counts
+    page_ids: jnp.ndarray,
+    pages: jnp.ndarray,
+    *,
+    hot_cps: tuple,         # static: codepoints classified by compare
+    u_cap: int,             # static: slots for the compacted unknowns
+    tile_rows: int = 256,
+    interpret: bool = False,
+):
+    """Batched class lookup with hot-codepoint pre-classification.
+
+    The general path's class row gather pays the chip's gather issue
+    rate per SLOT (~491 Mrows/s regardless of table size — docs/PERF.md)
+    and is ~93% of the emoji arm's starts stage. Real corpora
+    concentrate: the reference emoji fixture's top-32 codepoints cover
+    69% of chars. Chars matching a (host-chosen, trace-baked) hot set
+    are classified by full-lane compares (~free, class constants from
+    the authoritative table); only the remaining chars ride the gather,
+    compacted to a dense ``u_cap`` prefix by the recorded-route tiled
+    butterfly and distributed back by exact inverse replay. Measured on
+    v5e (tools/probe_cls5.py, 8 x 393216 slots, 69% hot): 8.79 ms
+    production gather -> 4.18 ms, bit-identical output.
+
+    Requires C % (32 * tile_rows * 128 / 32) == 0 (the tile constraint:
+    C % 32768 with the default tile_rows) and ``u_cap`` >= the actual
+    unknown-char count (callers size it host-side from the staged
+    windows, like the tight piece capacity). Returns (cls (B, C) int32,
+    overflow (B,) bool) — overflow set means u_cap was too small and the
+    classes of the truncated chars are garbage: the caller must discard
+    the window (exact fallback), never the ids.
+    """
+    from ..unicode_tables import get_tables
+    from .compact_pallas import (
+        LANES, compact_tiles_masked, degap_record, expand_tiles_replay,
+        regap_replay,
+    )
+    from .pretokenize import _cls_lookup
+
+    table, _ = get_tables()
+    B, C = cp.shape
+    idx = jnp.arange(C, dtype=jnp.int32)[None, :]
+    valid = idx < m[:, None]
+    hot = jnp.zeros(cp.shape, jnp.bool_)
+    cls_hot = jnp.zeros(cp.shape, jnp.int32)
+    for v in hot_cps:
+        is_v = cp == int(v)
+        hot = hot | is_v
+        cls_hot = jnp.where(is_v, int(table[int(v)]), cls_hot)
+    unknown = valid & ~hot
+    gapped, cnts, tile_takes = compact_tiles_masked(
+        [cp], unknown, out_cap=u_cap, tile_rows=tile_rows,
+        interpret=interpret,
+    )
+    (cp_u,), degap_takes = degap_record(
+        list(gapped), cnts, p_rows=u_cap // LANES, interpret=interpret,
+    )
+    cls_u = _cls_lookup(cp_u.reshape(B, u_cap), page_ids, pages)
+    gapped_cls = regap_replay(
+        cls_u, degap_takes, cnts.shape[1] * LANES, interpret=interpret,
+    )
+    cls_back = expand_tiles_replay(
+        gapped_cls, unknown, tile_takes, cnts, tile_rows=tile_rows,
+        interpret=interpret,
+    )
+    overflow = jnp.sum(cnts, axis=1) > u_cap
+    return jnp.where(hot, cls_hot, cls_back), overflow
+
+
 def piece_starts_bits(
     cp: jnp.ndarray,        # (N,) int32 codepoints (0-padded beyond m)
     m: jnp.ndarray,         # scalar int32 valid length
@@ -984,7 +1056,9 @@ def piece_starts_bits_pallas(
     interpret: bool = False,
     ascii_fast: bool = False,
     packed_out: bool = False,
-) -> jnp.ndarray:
+    hot_cps: tuple | None = None,
+    u_cap: int | None = None,
+):
     """derive_starts_words as ONE Pallas kernel per window batch: the ~95
     word scans run entirely in VMEM (12 x C-word inputs ~ 1.5 MB), so no
     intermediate ever round-trips HBM. Mask construction + packing stay in
@@ -993,7 +1067,15 @@ def piece_starts_bits_pallas(
     packed_out: return the start flags as (B, C) uint32 plane-major words
     (pack_mask layout) instead of unpacking to (B, N) bool — consumers
     that understand the plane layout (compact_tiles with packed=True)
-    skip the 8 MB/window unpack/repack round-trip entirely."""
+    skip the 8 MB/window unpack/repack round-trip entirely.
+
+    hot_cps/u_cap: route the class lookup through
+    :func:`class_lookup_hot` (hot-codepoint compare pre-classification +
+    compacted gather — halves the general path's dominant cost on
+    concentrated corpora). Requires batched input, not ascii_fast, and
+    N % 32768 == 0. Changes the return to ``(starts, cls_overflow)``
+    where cls_overflow (B,) flags windows whose unknown-char count blew
+    u_cap (their flags are garbage: caller must fall back exactly)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1013,6 +1095,7 @@ def piece_starts_bits_pallas(
     rows = c // lanes
     m_arr = jnp.broadcast_to(jnp.asarray(m, jnp.int32).reshape(-1), (B,))
 
+    cls_ovf = None
     if ascii_fast:
         # plane-space construction: bytes -> packed words directly (the
         # char-space compare+pack form costs ~1.0 ms per 8 MB on v5e vs
@@ -1023,6 +1106,23 @@ def piece_starts_bits_pallas(
             d = _char_masks_planes(cp_row, m_row, contractions=contractions,
                                    profile=profile)
             return tuple(d[k] for k in MASK_ORDER)
+
+        packed = jax.vmap(pack_all)(cp, m_arr)  # tuple of (B, C) uint32
+    elif hot_cps is not None:
+        assert u_cap is not None
+        cls2d, cls_ovf = class_lookup_hot(
+            cp, m_arr, page_ids, pages, hot_cps=tuple(hot_cps),
+            u_cap=u_cap, interpret=interpret,
+        )
+
+        def pack_all_cls(cp_row, m_row, cls_row):
+            mk = _char_masks(
+                cp_row, m_row, page_ids, pages, contractions=contractions,
+                ascii_fast=False, profile=profile, cls=cls_row,
+            )
+            return tuple(pack_mask(mk[k]) for k in MASK_ORDER)
+
+        packed = jax.vmap(pack_all_cls)(cp, m_arr, cls2d)
     else:
         def pack_all(cp_row, m_row):
             mk = _char_masks(
@@ -1031,7 +1131,7 @@ def piece_starts_bits_pallas(
             )
             return tuple(pack_mask(mk[k]) for k in MASK_ORDER)
 
-    packed = jax.vmap(pack_all)(cp, m_arr)  # tuple of (B, C) uint32
+        packed = jax.vmap(pack_all)(cp, m_arr)  # tuple of (B, C) uint32
     tiles = [p.reshape(B, rows, lanes) for p in packed]
 
     def kern(*refs):
@@ -1059,6 +1159,10 @@ def piece_starts_bits_pallas(
     )(*tiles)
     if packed_out:
         w = starts_w.reshape(B, c)
-        return w[0] if squeeze else w
-    out = jax.vmap(unpack_mask)(starts_w.reshape(B, c))
-    return out[0] if squeeze else out
+        out = w[0] if squeeze else w
+    else:
+        out = jax.vmap(unpack_mask)(starts_w.reshape(B, c))
+        out = out[0] if squeeze else out
+    if cls_ovf is not None:
+        return out, cls_ovf
+    return out

@@ -139,6 +139,11 @@ class Tokenizer:
                         profile=kind,
                         ranks=self._mergeable_ranks,
                     )
+                    if self._special_tokens:
+                        # single-pass byte-space special scan (exact
+                        # find_all_specials semantics; ~40x the Python
+                        # scan on special-dense text — docs/PERF.md)
+                        self._native.set_specials(self._special_tokens)
             except Exception:  # noqa: BLE001 - any failure => pure-Python path
                 self._native = None
         return self._native
@@ -240,16 +245,76 @@ class Tokenizer:
 
     def _host_encode(self, text: str, allowed: AbstractSet[str]) -> list[int]:
         """Full encode on the host: special scan + native segments."""
-        if self._get_native() is None:
+        native = self._get_native()
+        if native is None:
             tokens, _ = self._host.encode(text, allowed)
             return tokens
-        out: list[int] = []
+        if allowed and len(allowed) == len(self._special_tokens):
+            # full-allowed set: the native single-pass scan (exact
+            # find_all_specials selection; byte-space matching is
+            # char-exact on valid UTF-8 — lead/continuation byte ranges
+            # are disjoint, and a same-position tie's shorter token is a
+            # byte-prefix of the longer, so byte- and char-length
+            # tie-breaks agree). Subsets keep the Python scan (a
+            # non-allowed match must stay ordinary text AND not shadow
+            # an allowed one).
+            data = text.encode("utf-8")
+            found = native.find_specials(data)
+            if found is not None:
+                pos, ids = found
+                if not len(pos):
+                    return self._encode_ordinary_bytes(native, data)
+                sp_len = self._special_id_byte_lens()
+                out: list[int] = []
+                prev = 0
+                for p, sid in zip(pos.tolist(), ids.tolist()):
+                    if prev < p:
+                        out.extend(
+                            self._encode_ordinary_bytes(native,
+                                                        data[prev:p])
+                        )
+                    out.append(sid)
+                    prev = p + sp_len[sid]
+                if prev < len(data):
+                    out.extend(
+                        self._encode_ordinary_bytes(native, data[prev:])
+                    )
+                return out
+        out = []
         for seg, special_id in self._host.split_specials(text, allowed):
             if special_id is not None:
                 out.append(special_id)
             else:
                 out.extend(self._host_encode_ordinary(seg))
         return out
+
+    def _special_id_byte_lens(self) -> dict[int, int]:
+        """id -> UTF-8 byte length of the special's text (cached)."""
+        m = getattr(self, "_sp_id_lens", None)
+        if m is None:
+            m = {
+                i: len(t.encode("utf-8"))
+                for t, i in self._special_tokens.items()
+            }
+            self._sp_id_lens = m
+        return m
+
+    def _encode_ordinary_bytes(self, native, data: bytes) -> list[int]:
+        """Ordinary-encode a UTF-8 byte segment (native fast paths; the
+        byte-level twin of _host_encode_ordinary)."""
+        if not data:
+            return []
+        if len(data) >= self._SPLIT_MIN_BYTES:
+            lst = self._encode_split_parallel(native, data)
+            if lst is not None:
+                return lst
+        lst = native.encode_list(data)
+        if lst is not None:
+            return lst
+        ids = native.encode(data)
+        if ids is not None:
+            return ids.tolist()
+        return self._host.encode_ordinary(data.decode("utf-8"))
 
     @staticmethod
     def _nbytes(text: str) -> int:
