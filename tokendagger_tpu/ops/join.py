@@ -421,6 +421,102 @@ def vocab_probe8t_chunked(
     return jax.lax.fori_loop(0, n_iters, body, out0)
 
 
+def piece_key_words(piece: bytes) -> tuple[int, int, int, int, int]:
+    """Host-side (k0, k1, k2, k3, len) of a piece — bit-identical to the
+    device's compact_piece_keys key derivation (first 16 bytes LE,
+    zero-padded; bytes beyond the length masked)."""
+    b = piece[:16] + b"\0" * max(0, 16 - len(piece))
+    return (
+        int.from_bytes(b[0:4], "little"),
+        int.from_bytes(b[4:8], "little"),
+        int.from_bytes(b[8:12], "little"),
+        int.from_bytes(b[12:16], "little"),
+        len(piece),
+    )
+
+
+def vocab_probe_hot(
+    qk0: jnp.ndarray, qk1: jnp.ndarray, qk2: jnp.ndarray, qk3: jnp.ndarray,
+    qlen: jnp.ndarray,          # (B, P) int32 piece byte lengths (0 = pad)
+    vhash8_rows: jnp.ndarray,   # (nb8, 48) int32
+    vhash8_mask: int,
+    *,
+    hot_keys: tuple,            # static ((k0,k1,k2,k3,len), ...) <=16 B
+    hot_ranks: tuple,           # static ranks (-1 = known non-vocab piece)
+    u_cap: int,                 # static slots for compacted unknowns
+    n_chunks: int = 48,
+    tile_rows: int = 256,
+    interpret: bool = False,
+):
+    """Whole-piece lookup with hot-piece pre-answering: rank or -1 per
+    slot, plus a per-window overflow flag.
+
+    The probe's row gather pays the chip's issue rate per SLOT and sits
+    within ~8% of that floor at the flagship shape (docs/PERF.md) — the
+    only remaining lever is gathering FEWER rows. Real corpora repeat a
+    small piece set (" the", " of", …); pieces equal to a host-chosen
+    hot key (full-lane compares, ~0.07 ms for 32 keys at 1.9M slots —
+    tools/probe_starts5.py) are answered from baked constants (exact:
+    the table stores only <=16-byte tokens, so (key16, len) equality is
+    token identity; a hot rank of -1 reproduces the probe's miss for a
+    common non-vocab piece). Only the remaining pieces ride the gather,
+    compacted to a dense exact-counted ``u_cap`` prefix and distributed
+    back by recorded-route inverse replay — the same machinery as
+    bitplane.class_lookup_hot.
+
+    P must be a multiple of 32 * tile_rows * 128 / 32 (32768 with the
+    default tiles); u_cap a multiple of 128, >= the actual non-hot piece
+    count (overflow flags the window for the exact fallback otherwise).
+    """
+    import jax
+
+    from .compact_pallas import (
+        LANES, compact_tiles_masked, degap_record, expand_tiles_replay,
+        regap_replay,
+    )
+
+    B, P = qk0.shape
+    hot = jnp.zeros(qk0.shape, jnp.bool_)
+    rhot = jnp.full(qk0.shape, -1, jnp.int32)
+    for (h0, h1, h2, h3, hl), r in zip(hot_keys, hot_ranks):
+        m = (
+            (qk0 == jnp.uint32(h0)) & (qk1 == jnp.uint32(h1))
+            & (qk2 == jnp.uint32(h2)) & (qk3 == jnp.uint32(h3))
+            & (qlen == jnp.int32(hl))
+        )
+        hot = hot | m
+        rhot = jnp.where(m, jnp.int32(r), rhot)
+    live = qlen > 0
+    unknown = live & ~hot
+
+    bc = jax.lax.bitcast_convert_type
+    gapped, cnts, tile_takes = compact_tiles_masked(
+        [bc(qk0, jnp.int32), bc(qk1, jnp.int32), bc(qk2, jnp.int32),
+         bc(qk3, jnp.int32), qlen],
+        unknown, out_cap=u_cap, tile_rows=tile_rows, interpret=interpret,
+    )
+    dense, degap_takes = degap_record(
+        list(gapped), cnts, p_rows=u_cap // LANES, interpret=interpret,
+    )
+    d0, d1, d2, d3, dl = [d.reshape(B, u_cap) for d in dense]
+    r_u = vocab_probe8t_chunks(
+        bc(d0, jnp.uint32), bc(d1, jnp.uint32), bc(d2, jnp.uint32),
+        bc(d3, jnp.uint32), dl, vhash8_rows, vhash8_mask,
+        n_chunks=n_chunks,
+    )
+    gap_r = regap_replay(
+        r_u, degap_takes, cnts.shape[1] * LANES, interpret=interpret,
+    )
+    r_back = expand_tiles_replay(
+        gap_r, unknown, tile_takes, cnts, tile_rows=tile_rows,
+        interpret=interpret,
+    )
+    rank = jnp.where(hot, rhot, jnp.where(unknown, r_back, -1))
+    rank = jnp.where(live, rank, -1)
+    overflow = jnp.sum(cnts, axis=1) > u_cap
+    return rank, overflow
+
+
 def vocab_probe8_np(qk, qlen, vhash8_rows, vhash8_mask):
     """Numpy reference of vocab_probe8 (for tests)."""
     from ..tables import _mix_hash, _vhash_ab

@@ -50,6 +50,9 @@ class ResidentResult:
     # sizer (regex split_spans) and the device scanner disagree on piece
     # counts, a silent perf cliff that must surface in artifacts
     overflow_windows: int = 0
+    # hot-piece probe routing (ops/join.vocab_probe_hot): coverage and
+    # compacted-gather capacity when active
+    probe_hot: dict | None = None
 
     def to_dict(self):
         return asdict(self)
@@ -116,6 +119,7 @@ def run_resident(
     from .ops.join import (
         compact_piece_keys, compact_piece_keys_sorted, vocab_probe8,
         vocab_probe8t, vocab_probe8t_chunked, vocab_probe8t_chunks,
+        vocab_probe_hot,
     )
     from .tables import build_tables
     from .unicode_tables import get_two_level_tables
@@ -169,6 +173,7 @@ def run_resident(
         wins.append((jnp.asarray(buf), jnp.int32(len(arr))))
 
     cap_auto = not cap_bytes_per_piece
+    probe_hot_cfg = None
     if cap_auto:
         # auto piece capacity: exact host piece count per window (the
         # scanners are bit-identical, so the count is the truth), sized
@@ -180,15 +185,57 @@ def run_resident(
         # sizing gives a corpus-unique shape (one fresh compile per
         # corpus profile, then cached); callers that need shape reuse
         # across corpora pass an explicit cap.
+        from collections import Counter
+
         from .hostengine import HostEngine
 
         h_sizer = HostEngine(pattern, ranks, specials)
-        max_pieces = max(
-            (len(h_sizer.split_spans(b.decode("utf-8"))) for b in win_bytes),
-            default=1,
-        )
+        win_pieces: list[list[bytes]] = []
+        for b in win_bytes:
+            txt = b.decode("utf-8")
+            win_pieces.append(
+                [txt[a:e].encode("utf-8")
+                 for a, e in h_sizer.split_spans(txt)]
+            )
+        max_pieces = max((len(p) for p in win_pieces), default=1)
         p_tight = max(512, -(-int(max_pieces * 1.02 + 8) // 128) * 128)
         cap_bytes_per_piece = round(N / p_tight, 2)
+
+        # hot-piece probe routing (ops/join.vocab_probe_hot): the probe
+        # gather pays per SLOT at the chip's issue rate and already sits
+        # ~8% above its floor — the only lever left is fewer rows. Bake
+        # the staged windows' top pieces (<= 16 B, so (key, len) is
+        # exact identity) as trace constants; only the rest ride the
+        # gather, compacted to an exact-counted prefix. Gates: batched
+        # chunks probe, meaningful coverage, and a worthwhile count cut.
+        if batch > 1 and probe_impl == "chunks" and miss_mode == "host":
+            pc: Counter = Counter()
+            for pieces in win_pieces:
+                pc.update(p for p in pieces if len(p) <= 16)
+            hot_list = [p for p, _ in pc.most_common(128)]
+            hot_set = frozenset(hot_list)
+            unknowns = [
+                sum(1 for p in pieces if p not in hot_set)
+                for pieces in win_pieces
+            ]
+            max_unknown = max(unknowns, default=0)
+            tot = sum(len(p) for p in win_pieces) or 1
+            coverage = 1.0 - sum(unknowns) / tot
+            u_tight = max(4096, -(-(max_unknown + 128) // 128) * 128)
+            p_tile = max(32768, -(-p_tight // 32768) * 32768)
+            if hot_list and coverage >= 0.3 and u_tight <= (
+                    (7 * p_tile) // 10):
+                from .ops.join import piece_key_words
+
+                rd = dict(ranks)
+                probe_hot_cfg = dict(
+                    hot_keys=tuple(piece_key_words(p) for p in hot_list),
+                    hot_ranks=tuple(rd.get(p, -1) for p in hot_list),
+                    u_cap=u_tight,
+                    coverage=round(coverage, 4),
+                )
+                p_tight = p_tile
+                cap_bytes_per_piece = round(N / p_tight, 2)
     caps = caps_for(N, bytes_per_piece=cap_bytes_per_piece)
     if cap_auto:
         # float-rounding of the reported cap_bpp must not shrink the
@@ -207,7 +254,22 @@ def run_resident(
     # "transposed": gathered rows materialized as (48, P) so compares run
     # full-lane (2.1x the barrier form, measured — ops/join.vocab_probe8t);
     # "barrier": (P, 48) materialization + slice compares
-    if probe_impl == "chunks":
+    probe_hot_active = probe_hot_cfg is not None
+    if probe_hot_active:
+        u_cap_p = probe_hot_cfg["u_cap"]
+        nch_u = (16 if u_cap_p > 300_000
+                 else 64 if u_cap_p > 256_000
+                 else 48 if u_cap_p > 200_000 else 96)
+        interp_p = jax.default_backend() not in ("tpu",)
+
+        def probe_fn(k0, k1, k2, k3, pl, npc):
+            return vocab_probe_hot(
+                k0, k1, k2, k3, pl, vhash_rows, tables.vhash8_mask,
+                hot_keys=probe_hot_cfg["hot_keys"],
+                hot_ranks=probe_hot_cfg["hot_ranks"],
+                u_cap=u_cap_p, n_chunks=nch_u, interpret=interp_p,
+            )
+    elif probe_impl == "chunks":
         # chip sweeps (results/sweep_chunks42.log): p_cap 349568 -> 16;
         # 262144 -> 64; 240512 (tight English) -> 48 (4.249 ms vs 4.554
         # at 96; the landscape is noisy — 40 spikes to 6.1); 156544
@@ -490,15 +552,22 @@ def run_resident(
             v_compact = jax.jit(compact_butterfly_stage)
         else:
             v_compact = jax.jit(jax.vmap(compact_stage))
-        if probe_impl == "chunks":
+        if probe_impl == "chunks" or probe_hot_active:
             # the chunks probe is elementwise per slot: run it UN-vmapped
             # on the (B, P) batch directly — the vmap-wrapped form lowers
             # the row gather as a batched gather that costs ~25% more
             # in-pipeline than the direct 2-D form timed in
-            # tools/probe_chunked.py
+            # tools/probe_chunked.py. (The hot probe's compaction kernels
+            # are batch-gridded and likewise take the (B, P) form.)
             v_probe = jax.jit(probe_stage)
         else:
             v_probe = jax.jit(jax.vmap(probe_stage))
+
+        def run_probe(k0, k1, k2, k3, pl, npc):
+            """rank, overflow-or-None (hot probe flags blown u_cap)."""
+            if probe_hot_active:
+                return v_probe(k0, k1, k2, k3, pl, npc)
+            return v_probe(k0, k1, k2, k3, pl, npc), None
         if compact_impl == "butterfly":
             # miss-span compaction via the mask butterfly (no sort)
             from .ops.compact_pallas import finalize_butterfly
@@ -539,14 +608,15 @@ def run_resident(
                 sb, pl, k0, k1, k2, k3, npc = v_compact(
                     st_b, None, None, devs, nbs
                 )
-                rank = v_probe(k0, k1, k2, k3, pl, npc)
+                rank, p_ovf = run_probe(k0, k1, k2, k3, pl, npc)
                 out = v_fin(sb, pl, rank, npc)
-                if cls_ovf is not None:
-                    # a blown u_cap corrupts that window's class bits:
-                    # demote it to the exact host fallback like any other
-                    # capacity overflow (host-exact sizing means this
-                    # never fires on the staged windows; belt+braces)
-                    out = out[:5] + (out[5] | cls_ovf,) + out[6:]
+                # a blown u_cap (class or probe compaction) corrupts that
+                # window: demote it to the exact host fallback like any
+                # other capacity overflow (host-exact sizing means this
+                # never fires on the staged windows; belt+braces)
+                for ovf in (cls_ovf, p_ovf):
+                    if ovf is not None:
+                        out = out[:5] + (out[5] | ovf,) + out[6:]
                 return out
         elif fuse_dec:
             def pipeline_b(devs, nbs):
@@ -554,8 +624,11 @@ def run_resident(
                 sb, pl, k0, k1, k2, k3, npc = v_compact(
                     starts, None, None, devs, nbs
                 )
-                rank = v_probe(k0, k1, k2, k3, pl, npc)
-                return v_fin(sb, pl, rank, npc)
+                rank, p_ovf = run_probe(k0, k1, k2, k3, pl, npc)
+                out = v_fin(sb, pl, rank, npc)
+                if p_ovf is not None:
+                    out = out[:5] + (out[5] | p_ovf,) + out[6:]
+                return out
         else:
             def pipeline_b(devs, nbs):
                 cp, cob, boc, m = v_dec(devs, nbs)
@@ -563,8 +636,11 @@ def run_resident(
                 sb, pl, k0, k1, k2, k3, npc = v_compact(
                     starts, cob, boc, devs, nbs
                 )
-                rank = v_probe(k0, k1, k2, k3, pl, npc)
-                return v_fin(sb, pl, rank, npc)
+                rank, p_ovf = run_probe(k0, k1, k2, k3, pl, npc)
+                out = v_fin(sb, pl, rank, npc)
+                if p_ovf is not None:
+                    out = out[:5] + (out[5] | p_ovf,) + out[6:]
+                return out
 
     # calibration: trivial dispatch latency (pre-cliff; block, no D2H)
     xcal = jnp.arange(1024, dtype=jnp.int32)
@@ -751,8 +827,14 @@ def run_resident(
         impl=impl,
         starts_impl=starts_impl if batch > 1 else "jnp",
         compact_impl=compact_impl if batch > 1 else "sort",
-        probe_impl=probe_impl,
+        probe_impl="hot" if probe_hot_active else probe_impl,
         cap_bpp=cap_bytes_per_piece,
         overlap=overlap_stats,
         overflow_windows=overflow_windows,
+        probe_hot=(
+            dict(n_hot=len(probe_hot_cfg["hot_keys"]),
+                 u_cap=probe_hot_cfg["u_cap"],
+                 coverage=probe_hot_cfg["coverage"])
+            if probe_hot_active else None
+        ),
     )
