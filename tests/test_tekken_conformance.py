@@ -25,8 +25,16 @@ from tools.tekken_standin import (
 
 @pytest.fixture(scope="module")
 def tekken_setup(tmp_path_factory, llama4_assets):
-    # shared stand-in builder (tools/tekken_standin.py): same config the
-    # bench harnesses' --tokenizer mistral flag drives
+    # TEKKEN_JSON=/path/to/real/tekken.json runs this whole module
+    # against the REAL Mistral vocab (tools/fetch_real_vocabs.py closure
+    # path); otherwise the shared stand-in builder
+    # (tools/tekken_standin.py) — same config the bench harnesses'
+    # --tokenizer mistral flag drives
+    import os
+
+    real = os.environ.get("TEKKEN_JSON")
+    if real and os.path.exists(real):
+        return vocab.load_tekken(real)
     p = write_standin(tmp_path_factory.mktemp("tekken") / "tekken.json")
     return vocab.load_tekken(p)
 
