@@ -152,3 +152,61 @@ def test_sharded_pipeline_general_emoji(assets, profile, pattern_name):
     wins, nbs = _stage_windows(emo.read_bytes(), 8)
     _verify(fn, shardings, wins, nbs, ranks, specials,
             getattr(V, pattern_name))
+
+
+def test_sharded_pipeline_hot_routing(assets, corpus_lorem):
+    """The round-5 hot-set routings under shard_map: hot-piece probe on
+    an ASCII batch, and hot-codepoint classes + hot probe on the general
+    path — bit-exact, zero overflow (mesh/single-chip lockstep)."""
+    from collections import Counter
+
+    from tokendagger_tpu.hostengine import HostEngine
+    from tokendagger_tpu.ops.join import piece_key_words
+    from tokendagger_tpu.vocab import LLAMA4_PATTERN
+
+    ranks, specials = assets
+    corpus = corpus_lorem.encode()
+    wins, nbs = _stage_windows(corpus, 8)
+
+    # host staging analysis (the resident.py recipe)
+    host = HostEngine(LLAMA4_PATTERN, ranks, specials)
+    pc: Counter = Counter()
+    win_pieces = []
+    for b in range(8):
+        txt = bytes(wins[b, : nbs[b]]).decode("utf-8")
+        pieces = [txt[a:e].encode() for a, e in host.split_spans(txt)]
+        win_pieces.append(pieces)
+        pc.update(p for p in pieces if len(p) <= 16)
+    hot = [p for p, _ in pc.most_common(64)]
+    hot_set = frozenset(hot)
+    max_unknown = max(sum(1 for p in ps if p not in hot_set)
+                      for ps in win_pieces)
+    rd = dict(ranks)
+    probe_cfg = dict(
+        hot_keys=tuple(piece_key_words(p) for p in hot),
+        hot_ranks=tuple(rd.get(p, -1) for p in hot),
+        u_cap=max(4096, -(-(max_unknown + 128) // 128) * 128),
+    )
+    fn, shardings = _build(ranks, specials, probe_hot_cfg=probe_cfg)
+    _verify(fn, shardings, wins, nbs, ranks, specials, LLAMA4_PATTERN)
+
+    # general path with hot classes (emoji corpus)
+    import pathlib
+
+    emo = pathlib.Path("/root/reference/tests/input/emoji.txt")
+    if not emo.exists():
+        pytest.skip("emoji corpus unavailable")
+    wins_e, nbs_e = _stage_windows(emo.read_bytes(), 8)
+    hist: Counter = Counter()
+    for b in range(8):
+        vals, cnts = np.unique(
+            np.frombuffer(
+                bytes(wins_e[b, : nbs_e[b]]).decode("utf-8")
+                .encode("utf-32-le"), np.uint32,
+            ).astype(np.int32), return_counts=True)
+        hist.update(dict(zip(vals.tolist(), cnts.tolist())))
+    hot_cps = [v for v, _ in hist.most_common(32)]
+    cls_cfg = dict(hot_cps=tuple(hot_cps), u_cap=WINDOW)
+    fn2, sh2 = _build(ranks, specials, impl="general",
+                      c_cap=WINDOW, class_hot_cfg=cls_cfg)
+    _verify(fn2, sh2, wins_e, nbs_e, ranks, specials, LLAMA4_PATTERN)

@@ -39,6 +39,8 @@ def mesh_resident_pipeline(
     impl: str = "ascii",
     profile: str = "llama4",
     c_cap: int | None = None,
+    class_hot_cfg: dict | None = None,
+    probe_hot_cfg: dict | None = None,
     interpret: bool = False,
 ):
     """Build a jitted ``(windows (B, N) uint8, nbytes (B,)) ->
@@ -62,13 +64,20 @@ def mesh_resident_pipeline(
       recorded-route replay. ``c_cap`` sizes the char-indexed stages
       (defaults to ``window``; must be a multiple of 4096).
     * profile: any scanner profile (llama4 / nocontract / cl100k / gpt2).
+    * class_hot_cfg {hot_cps, u_cap} / probe_hot_cfg {hot_keys,
+      hot_ranks, u_cap}: the round-5 hot-set routings
+      (ops/bitplane.class_lookup_hot, ops/join.vocab_probe_hot) — same
+      host-side staging analysis as resident.py; a blown u_cap folds
+      into the per-window overflow flag (exact fallback downstream).
+      class_hot_cfg requires impl="general" and c_cap % 32768 == 0;
+      probe_hot_cfg pads p_cap to the compaction tile internally.
     """
     from ..ops import pretokenize as PT
     from ..ops.bitplane import piece_starts_bits_pallas
     from ..ops.compact_pallas import (
         compact_piece_keys_butterfly, finalize_butterfly,
     )
-    from ..ops.join import vocab_probe8t_chunks
+    from ..ops.join import vocab_probe8t_chunks, vocab_probe_hot
 
     vhash_rows = jnp.asarray(tables.vhash8_rows)
     vhash_mask = tables.vhash8_mask
@@ -80,9 +89,15 @@ def mesh_resident_pipeline(
     packed = impl == "ascii" and window == 32 * 256 * 128
     cc = c_cap or window
     assert cc % 4096 == 0, cc
+    if probe_hot_cfg is not None:
+        # the hot probe's compaction tiles need p_cap % 32768 == 0
+        p_cap = max(32768, -(-p_cap // 32768) * 32768)
+    if class_hot_cfg is not None:
+        assert impl == "general" and cc % 32768 == 0, cc
 
     def local_starts_bytes(devs, nbs):
-        """Byte-level piece-start flags (or packed planes) per impl."""
+        """Byte-level piece-start flags (or packed planes) per impl;
+        second element is the class-u_cap overflow (or None)."""
         if impl == "ascii":
             # ascii_fast consumes the raw byte window (plane-space
             # masks; validity plane covers the garbage tail, no int32
@@ -91,37 +106,61 @@ def mesh_resident_pipeline(
                 devs, nbs, page_ids, pages, contractions=contractions,
                 profile=profile, ascii_fast=True, packed_out=packed,
                 interpret=interpret,
-            )
+            ), None
         cp, lead, m, route = PT.utf8_decode_tiles(
             devs, nbs, c_cap=cc, interpret=interpret,
         )
-        starts_c = piece_starts_bits_pallas(
-            cp, m, page_ids, pages, contractions=contractions,
-            profile=profile, interpret=interpret,
-        )
+        cls_ovf = None
+        if class_hot_cfg is not None:
+            starts_c, cls_ovf = piece_starts_bits_pallas(
+                cp, m, page_ids, pages, contractions=contractions,
+                profile=profile, interpret=interpret,
+                hot_cps=tuple(class_hot_cfg["hot_cps"]),
+                u_cap=class_hot_cfg["u_cap"],
+            )
+        else:
+            starts_c = piece_starts_bits_pallas(
+                cp, m, page_ids, pages, contractions=contractions,
+                profile=profile, interpret=interpret,
+            )
         return PT.expand_starts_replay(
             starts_c, lead, route, interpret=interpret,
-        )
+        ), cls_ovf
 
     def local_pipeline(devs, nbs):
         # devs (b_local, N) uint8; nbs (b_local,)
-        starts = local_starts_bytes(devs, nbs)
+        starts, cls_ovf = local_starts_bytes(devs, nbs)
         sb, pl_, k0, k1, k2, k3, npc = compact_piece_keys_butterfly(
             starts, devs, nbs, p_cap, packed=packed, interpret=interpret,
         )
-        # chunk count mirrors resident.py's chip-swept heuristic
-        # (results/sweep_chunks42.log): 48 at the tight flagship p_cap
-        # band; identical results at any count
-        n_chunks = (16 if p_cap > 300_000
-                    else 64 if p_cap > 256_000
-                    else 48 if p_cap > 200_000 else 96)
-        rank = jax.vmap(
-            lambda a, b, c, d, e: vocab_probe8t_chunks(
-                a, b, c, d, e, vhash_rows, vhash_mask, n_chunks=n_chunks)
-        )(k0, k1, k2, k3, pl_)
+        p_ovf = None
+        if probe_hot_cfg is not None:
+            rank, p_ovf = vocab_probe_hot(
+                k0, k1, k2, k3, pl_, vhash_rows, vhash_mask,
+                hot_keys=tuple(probe_hot_cfg["hot_keys"]),
+                hot_ranks=tuple(probe_hot_cfg["hot_ranks"]),
+                u_cap=probe_hot_cfg["u_cap"], interpret=interpret,
+            )
+        else:
+            # chunk count mirrors resident.py's chip-swept heuristic
+            # (results/sweep_chunks42.log): 48 at the tight flagship
+            # p_cap band; identical results at any count
+            n_chunks = (16 if p_cap > 300_000
+                        else 64 if p_cap > 256_000
+                        else 48 if p_cap > 200_000 else 96)
+            rank = jax.vmap(
+                lambda a, b, c, d, e: vocab_probe8t_chunks(
+                    a, b, c, d, e, vhash_rows, vhash_mask,
+                    n_chunks=n_chunks)
+            )(k0, k1, k2, k3, pl_)
         out = finalize_butterfly(
             sb, pl_, rank, npc, trim, p_cap=p_cap, interpret=interpret,
         )
+        # fold hot-routing u_cap overflows into the per-window overflow
+        # flag (exact-fallback contract, same as resident.py)
+        for ovf in (cls_ovf, p_ovf):
+            if ovf is not None:
+                out = out[:5] + (out[5] | ovf,) + out[6:]
         flat, n_kept = out[0], out[1]
         # psum'd global counters: every shard ends up with the totals
         total_tokens = jax.lax.psum(jnp.sum(n_kept), DATA_AXIS)
