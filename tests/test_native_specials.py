@@ -88,3 +88,40 @@ def test_full_allowed_encode_matches_tiktoken(enc_pair):
     t = "<|header_start|>x<|header_end|>y<|eot|>"
     assert ours.encode(t, allowed_special=subset, disallowed_special=()) \
         == oracle.encode(t, allowed_special=subset, disallowed_special=())
+
+
+def test_prefix_tied_specials_deterministic(llama4_assets):
+    """Adversarial special sets (1-byte tokens, strict prefix ties,
+    shared prefixes): the native scan must agree with the Python scan
+    exactly, and prefix ties must resolve longest-first in both (the
+    documented deterministic choice — tiktoken's own pick there is
+    HashMap-order-defined; no real vocab has prefix-tied specials)."""
+    from tokendagger_tpu.hostengine import HostEngine
+    from tokendagger_tpu.native import NativeEngine
+    from tokendagger_tpu.tables import build_tables
+
+    pattern, ranks, _ = llama4_assets
+    specials = {
+        "<|eot|>": 200000, "<|eot|>x": 200001, "@": 200002,
+        "@@": 200003, "<|a|>": 200004, "<|ab|>": 200005, "#": 200006,
+    }
+    host = HostEngine(pattern, ranks, specials)
+    tables = build_tables(ranks, specials)
+    native = NativeEngine(tables.pair.rows, tables.pair.mask,
+                          tables.byte_rank, profile="llama4", ranks=ranks)
+    assert native.set_specials(specials)
+
+    texts = [
+        "<|eot|>x", "x<|eot|>xy", "@@@", "@@", "@", "a@b@@c", "#@#",
+        "<|a|><|ab|>", "<|ab|><|a|>", "pre<|eot|>", "<|eot|>",
+        "@<|eot|>x@@", "#", "", "@#@@#<|eot|>x#",
+    ]
+    for t in texts:
+        want = host.find_all_specials(t, set(specials))
+        pos, ids = native.find_specials(t.encode())
+        want_b = [(p, specials[tok]) for p, tok in want]  # ASCII: byte==char
+        assert list(zip(pos.tolist(), ids.tolist())) == want_b, t
+    # the documented longest-first tie resolution, explicitly
+    assert host.find_all_specials("<|eot|>x", set(specials)) == \
+        [(0, "<|eot|>x")]
+    assert host.find_all_specials("@@", set(specials)) == [(0, "@@")]

@@ -40,26 +40,9 @@ def _build(ranks, specials, **kw):
 
 def _stage_windows(corpus: bytes, B: int):
     """B char-aligned WINDOW-byte windows tiled over the corpus."""
-    wins = np.zeros((B, WINDOW), np.uint8)
-    nbs = np.zeros((B,), np.int32)
-    for b in range(B):
-        lo = (b * WINDOW) % max(1, len(corpus) - WINDOW)
-        chunk = corpus[lo : lo + WINDOW]
-        arr = np.frombuffer(chunk, np.uint8)
-        k = 0
-        while k < len(arr) and (arr[k] & 0xC0) == 0x80:
-            k += 1
-        arr = arr[k:]
-        e = len(arr)
-        while e > 0 and (arr[e - 1] & 0x80):
-            if (arr[e - 1] & 0xC0) == 0xC0:
-                e -= 1
-                break
-            e -= 1
-        arr = arr[:e]
-        wins[b, : len(arr)] = arr
-        nbs[b] = len(arr)
-    return wins, nbs
+    from tokendagger_tpu.utils.windows import tile_windows
+
+    return tile_windows(corpus, WINDOW, B)
 
 
 def _verify(fn, shardings, wins, nbs, ranks, specials, pattern):

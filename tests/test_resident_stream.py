@@ -23,27 +23,13 @@ def test_stream_bit_exact(llama4_assets):
     out, stats = rs.encode(corpus)
     assert stats.n_windows == len(out) == 5
     assert stats.n_batches == 3  # 5 device windows in batches of 2
-    # per-window oracle equality (windows are independent texts)
-    base = 0
-    for i, ids in enumerate(out):
-        w = corpus[base : base + (1 << 16)]
-        # reproduce the stream's char-alignment trim
-        e = len(w)
-        arr = w
-        if base + e < len(corpus):
-            j = e - 1
-            while j >= 0 and j > e - 5 and (arr[j] & 0x80):
-                if (arr[j] & 0xC0) == 0xC0:
-                    need = 2 if arr[j] < 0xE0 else (3 if arr[j] < 0xF0
-                                                    else 4)
-                    if e - j < need:
-                        e = j
-                    break
-                j -= 1
-        seg = w[:e]
-        want = rs.host.encode_ordinary(seg.decode("utf-8"))
+    # per-window oracle equality (windows are independent texts) — the
+    # shared staging helper defines the window cover
+    from tokendagger_tpu.utils.windows import stream_windows
+
+    for i, (ids, w) in enumerate(zip(out, stream_windows(corpus, 1 << 16))):
+        want = rs.host.encode_ordinary(w.tobytes().decode("utf-8"))
         assert ids == want, f"window {i}"
-        base += max(e, 1)
 
 
 def test_stream_nonascii_fallback(llama4_assets):

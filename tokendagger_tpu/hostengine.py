@@ -234,8 +234,16 @@ class HostEngine:
     ) -> list[tuple[int, str]]:
         """All non-overlapping allowed-special occurrences in document
         order (leftmost match wins; same-position ties go to the longest
-        token) — identical selection to the reference's cached per-token
-        find loop (tiktoken.cpp:130-154), but computed in a single pass:
+        token) — the reference's cached per-token find loop semantics
+        (tiktoken.cpp:130-154), computed in a single pass. Tie-break
+        caveat: a same-position tie requires one allowed special to be a
+        strict prefix of another — absent from every real vocabulary.
+        There, this scan (and the native td_find_specials twin) picks
+        the LONGEST deterministically, while tiktoken's own pick is the
+        first alternative of a regex built from HashMap iteration order
+        (implementation-defined), and the reference's is emhash set
+        order; for prefix-tie-free special sets all three agree exactly.
+        Mechanics:
         one ``str.find`` sweep per *distinct leading bigram* of the
         allowed set (typically just "<|") yields candidate positions, and
         each candidate is resolved with one hash lookup per distinct

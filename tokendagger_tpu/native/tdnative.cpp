@@ -702,8 +702,10 @@ void td_set_specials(void* h, const uint8_t* blob, const int64_t* offs,
 // Scan for ALL installed specials (the allowed == full-set case; subsets
 // keep the Python scan) with hostengine.find_all_specials semantics:
 // leftmost match wins, same-position ties go to the longest token,
-// matches never overlap. Writes (byte_pos, id) pairs; returns the count,
-// -1 if cap is too small, -3 if no table is installed.
+// matches never overlap. (Same-position ties require one special to be
+// a strict byte-prefix of another — no real vocab has these; see the
+// tie-break caveat on find_all_specials.) Writes (byte_pos, id) pairs;
+// returns the count, -1 if cap is too small, -3 if no table installed.
 int64_t td_find_specials(const void* h, const uint8_t* data, int64_t n,
                          int64_t* out_pos, int32_t* out_id, int64_t cap) {
   const Tables* t = (const Tables*)h;

@@ -190,14 +190,10 @@ def run_resident(
         from .hostengine import HostEngine
 
         h_sizer = HostEngine(pattern, ranks, specials)
-        win_pieces: list[list[bytes]] = []
-        for b in win_bytes:
-            txt = b.decode("utf-8")
-            win_pieces.append(
-                [txt[a:e].encode("utf-8")
-                 for a, e in h_sizer.split_spans(txt)]
-            )
-        max_pieces = max((len(p) for p in win_pieces), default=1)
+        max_pieces = max(
+            (len(h_sizer.split_spans(b.decode("utf-8"))) for b in win_bytes),
+            default=1,
+        )
         p_tight = max(512, -(-int(max_pieces * 1.02 + 8) // 128) * 128)
         cap_bytes_per_piece = round(N / p_tight, 2)
 
@@ -208,7 +204,16 @@ def run_resident(
         # exact identity) as trace constants; only the rest ride the
         # gather, compacted to an exact-counted prefix. Gates: batched
         # chunks probe, meaningful coverage, and a worthwhile count cut.
+        # (Piece lists are built only under the gate — they hold ~2M
+        # small bytes objects at the 8 x 1 MB shape.)
         if batch > 1 and probe_impl == "chunks" and miss_mode == "host":
+            win_pieces: list[list[bytes]] = []
+            for b in win_bytes:
+                txt = b.decode("utf-8")
+                win_pieces.append(
+                    [txt[a:e].encode("utf-8")
+                     for a, e in h_sizer.split_spans(txt)]
+                )
             pc: Counter = Counter()
             for pieces in win_pieces:
                 pc.update(p for p in pieces if len(p) <= 16)
@@ -457,7 +462,7 @@ def run_resident(
                                 c_cap = cand
                                 break
 
-                    if cap_auto:
+                    if cap_auto and N % 32768 == 0:
                         # hot-codepoint class routing (class_lookup_hot):
                         # the class gather — ~93% of the general starts
                         # stage — pays per SLOT, but real corpora

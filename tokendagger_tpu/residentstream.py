@@ -142,29 +142,10 @@ class ResidentStream:
     def _stage_windows(self, corpus: bytes):
         """Char-aligned fixed-shape windows + per-window validity. ASCII
         windows ride the device; others are host-fallback routed."""
-        N = self.window
-        wins, metas = [], []
-        base = 0
-        n = len(corpus)
-        while base < n:
-            arr = np.frombuffer(corpus[base : base + N], np.uint8)
-            e = len(arr)
-            if base + e < n:
-                # trim a trailing incomplete UTF-8 sequence
-                j = e - 1
-                while j >= 0 and j > e - 5 and (arr[j] & 0x80):
-                    if (arr[j] & 0xC0) == 0xC0:
-                        need = (2 if arr[j] < 0xE0
-                                else 3 if arr[j] < 0xF0 else 4)
-                        if e - j < need:
-                            e = j
-                        break
-                    j -= 1
-            arr = arr[:e]
-            device_ok = e > 0 and not (arr & 0x80).any()
-            wins.append(arr)
-            metas.append(device_ok)
-            base += max(e, 1)
+        from .utils.windows import stream_windows
+
+        wins = stream_windows(corpus, self.window)
+        metas = [len(w) > 0 and not (w & 0x80).any() for w in wins]
         return wins, metas
 
     def encode(self, corpus: bytes) -> tuple[list[list[int]], StreamStats]:
@@ -174,7 +155,6 @@ class ResidentStream:
         HostEngine.encode_ordinary per window."""
         jax = self._jax
         jnp = self._jnp
-        from .ops.fused import SENTINEL
 
         N, B = self.window, self.batch
         wins, dev_ok = self._stage_windows(corpus)

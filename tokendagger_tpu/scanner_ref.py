@@ -522,7 +522,6 @@ def _piece_starts_gpt2(cp: np.ndarray) -> np.ndarray:
     if n == 0:
         return np.zeros(0, dtype=bool)
     classes, _ = get_tables()
-    idx = np.arange(n, dtype=np.int64)
     cls = classes[cp]
     ws = (cls & WS) != 0
     let = (cls & LETTER) != 0

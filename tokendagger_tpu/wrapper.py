@@ -257,7 +257,12 @@ class Tokenizer:
             # byte-prefix of the longer, so byte- and char-length
             # tie-breaks agree). Subsets keep the Python scan (a
             # non-allowed match must stay ordinary text AND not shadow
-            # an allowed one).
+            # an allowed one). Same-position ties (one special a strict
+            # prefix of another — no real vocab has these) resolve
+            # longest-first, deterministically, in BOTH scans; tiktoken's
+            # own resolution there is regex-alternation order over a
+            # HashMap iteration, i.e. implementation-defined — see
+            # hostengine.find_all_specials.
             data = text.encode("utf-8")
             found = native.find_specials(data)
             if found is not None:
