@@ -366,8 +366,26 @@ class NativeEngine:
             self._h, self._sp_blob.ctypes.data, offs.ctypes.data,
             lens.ctypes.data, self._sp_ids.ctypes.data, len(keys),
         )
+        if self._py is not None and hasattr(self._py, "set_specials"):
+            # the CPython-extension binding runs its own engine instance
+            self._py.set_specials(
+                self._py_cap, self._sp_blob, offs, lens, self._sp_ids,
+                len(keys),
+            )
         self._sp_ok = True
         return True
+
+    def encode_with_specials(self, data: bytes, num_threads: int = 4):
+        """Full-allowed-set encode of one text in ONE extension call:
+        native special scan + GIL-free OpenMP encode of every ordinary
+        segment + interleaved list materialization (special-dense chat
+        text has ~30k tiny segments per MB; per-segment calls pay µs
+        each). None => caller falls back."""
+        if (self._py is None or not getattr(self, "_sp_ok", False)
+                or not hasattr(self._py, "encode_with_specials")):
+            return None
+        return self._py.encode_with_specials(self._py_cap, data,
+                                             num_threads)
 
     def find_specials(self, data: bytes):
         """(byte_pos int64 array, id int32 array) of every installed

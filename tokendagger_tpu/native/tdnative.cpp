@@ -704,10 +704,12 @@ void td_set_specials(void* h, const uint8_t* blob, const int64_t* offs,
 // leftmost match wins, same-position ties go to the longest token,
 // matches never overlap. (Same-position ties require one special to be
 // a strict byte-prefix of another — no real vocab has these; see the
-// tie-break caveat on find_all_specials.) Writes (byte_pos, id) pairs;
-// returns the count, -1 if cap is too small, -3 if no table installed.
-int64_t td_find_specials(const void* h, const uint8_t* data, int64_t n,
-                         int64_t* out_pos, int32_t* out_id, int64_t cap) {
+// tie-break caveat on find_all_specials.) Writes (byte_pos, id) pairs
+// (+ byte lengths when out_len is non-null); returns the count, -1 if
+// cap is too small, -3 if no table installed.
+int64_t td_find_specials_l(const void* h, const uint8_t* data, int64_t n,
+                           int64_t* out_pos, int32_t* out_id,
+                           int32_t* out_len, int64_t cap) {
   const Tables* t = (const Tables*)h;
   if (!t->sp_ready) return -3;
   const bool has1 =
@@ -769,6 +771,7 @@ int64_t td_find_specials(const void* h, const uint8_t* data, int64_t n,
         if (cnt >= cap) return -1;
         out_pos[cnt] = i;
         out_id[cnt] = m_id;
+        if (out_len) out_len[cnt] = m_len;
         ++cnt;
         i += m_len;
         continue;
@@ -777,6 +780,11 @@ int64_t td_find_specials(const void* h, const uint8_t* data, int64_t n,
     ++i;
   }
   return cnt;
+}
+
+int64_t td_find_specials(const void* h, const uint8_t* data, int64_t n,
+                         int64_t* out_pos, int32_t* out_id, int64_t cap) {
+  return td_find_specials_l(h, data, n, out_pos, out_id, nullptr, cap);
 }
 
 // Pretokenize: write piece start byte offsets into `starts` (capacity cap,

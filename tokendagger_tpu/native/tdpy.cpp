@@ -26,12 +26,16 @@ void* td_create(const uint8_t*, const int8_t*, const int32_t*, int64_t,
 void td_destroy(void*);
 void td_set_vocab(void*, const uint8_t*, const int64_t*, const int32_t*,
                   const int32_t*, int64_t);
+void td_set_specials(void*, const uint8_t*, const int64_t*, const int32_t*,
+                     const int32_t*, int64_t);
 int64_t td_scan(const void*, const uint8_t*, int64_t, int32_t*, int64_t);
 int64_t td_encode(const void*, const uint8_t*, int64_t, int32_t*, int64_t);
 int64_t td_encode_batch(const void*, const uint8_t*, const int64_t*, int64_t,
                         int32_t*, int64_t*, int);
 int64_t td_decode(const int64_t*, int64_t, const int64_t*, const int32_t*,
                   const uint8_t*, int64_t, uint8_t*, int64_t, int);
+int64_t td_find_specials_l(const void*, const uint8_t*, int64_t, int64_t*,
+                           int32_t*, int32_t*, int64_t);
 }
 
 namespace {
@@ -118,6 +122,29 @@ PyObject* py_set_vocab(PyObject*, PyObject* args) {
   PyBuffer_Release(&lens);
   PyBuffer_Release(&ranks);
   if (!h) return nullptr;  // PyCapsule_GetPointer set the error
+  Py_RETURN_NONE;
+}
+
+// tdpy.set_specials(capsule, blob, offs, lens, ids, n) — install the
+// special-token scan table on this binding's engine (mirrors
+// native/__init__.py set_specials for the ctypes engine).
+PyObject* py_set_specials(PyObject*, PyObject* args) {
+  PyObject* cap;
+  Py_buffer blob, offs, lens, ids;
+  long long n;
+  if (!PyArg_ParseTuple(args, "Oy*y*y*y*L", &cap, &blob, &offs, &lens,
+                        &ids, &n))
+    return nullptr;
+  void* h = PyCapsule_GetPointer(cap, "tdpy.engine");
+  if (h) {
+    td_set_specials(h, (const uint8_t*)blob.buf, (const int64_t*)offs.buf,
+                    (const int32_t*)lens.buf, (const int32_t*)ids.buf, n);
+  }
+  PyBuffer_Release(&blob);
+  PyBuffer_Release(&offs);
+  PyBuffer_Release(&lens);
+  PyBuffer_Release(&ids);
+  if (!h) return nullptr;
   Py_RETURN_NONE;
 }
 
@@ -298,6 +325,162 @@ PyObject* py_encode_batch_lists(PyObject*, PyObject* args) {
   return outer;
 }
 
+// tdpy.encode_with_specials(capsule, data: bytes, nthreads)
+//   -> list[int] | None
+//
+// The full-allowed-set encode of one text in ONE extension call: native
+// special scan (td_find_specials_l), GIL-free OpenMP encode of every
+// ordinary segment, then a single interleaved materialization from the
+// shared PyLong cache. Special-dense chat text has ~30k tiny segments
+// per MB — driving them through per-segment extension calls (or even
+// one batched call fed by a Python segment-building loop) pays microsecond
+// per-segment Python costs that dwarf the actual encoding. Returns None
+// when the engine has no specials table or no vocab (caller falls back).
+PyObject* py_encode_with_specials(PyObject*, PyObject* args) {
+  PyObject* cap;
+  Py_buffer data;
+  int nthreads;
+  if (!PyArg_ParseTuple(args, "Oy*i", &cap, &data, &nthreads))
+    return nullptr;
+  void* h = PyCapsule_GetPointer(cap, "tdpy.engine");
+  if (!h) {
+    PyBuffer_Release(&data);
+    return nullptr;
+  }
+  const uint8_t* buf = (const uint8_t*)data.buf;
+  int64_t n = data.len;
+  int64_t cap_m = n + 1;
+  int64_t* sp_pos = (int64_t*)PyMem_Malloc(sizeof(int64_t) * cap_m);
+  int32_t* sp_id = (int32_t*)PyMem_Malloc(sizeof(int32_t) * cap_m);
+  int32_t* sp_len = (int32_t*)PyMem_Malloc(sizeof(int32_t) * cap_m);
+  if (!sp_pos || !sp_id || !sp_len) {
+    PyMem_Free(sp_pos);
+    PyMem_Free(sp_id);
+    PyMem_Free(sp_len);
+    PyBuffer_Release(&data);
+    return PyErr_NoMemory();
+  }
+  int64_t n_sp;
+  Py_BEGIN_ALLOW_THREADS
+  n_sp = td_find_specials_l(h, buf, n, sp_pos, sp_id, sp_len, cap_m);
+  Py_END_ALLOW_THREADS
+  if (n_sp < 0) {  // -3: no table installed (or scan unavailable)
+    PyMem_Free(sp_pos);
+    PyMem_Free(sp_id);
+    PyMem_Free(sp_len);
+    PyBuffer_Release(&data);
+    Py_RETURN_NONE;
+  }
+  // ordinary segment table + interleave plan (plan[k] >= 0: segment
+  // index; < 0: special index as -1-i)
+  int64_t max_items = 2 * n_sp + 1;
+  int64_t* seg_s = (int64_t*)PyMem_Malloc(sizeof(int64_t) * (n_sp + 2));
+  int64_t* seg_o = (int64_t*)PyMem_Malloc(sizeof(int64_t) * (n_sp + 2));
+  int64_t* seg_e = (int64_t*)PyMem_Malloc(sizeof(int64_t) * (n_sp + 2));
+  int64_t* counts = (int64_t*)PyMem_Malloc(sizeof(int64_t) * (n_sp + 2));
+  int64_t* plan = (int64_t*)PyMem_Malloc(
+      sizeof(int64_t) * (max_items ? max_items : 1));
+  if (!seg_s || !seg_e || !seg_o || !counts || !plan) {
+    PyMem_Free(sp_pos); PyMem_Free(sp_id); PyMem_Free(sp_len);
+    PyMem_Free(seg_s); PyMem_Free(seg_e); PyMem_Free(seg_o);
+    PyMem_Free(counts); PyMem_Free(plan);
+    PyBuffer_Release(&data);
+    return PyErr_NoMemory();
+  }
+  int64_t n_seg = 0, n_items = 0, prev = 0, out_total = 0;
+  for (int64_t i = 0; i < n_sp; ++i) {
+    if (prev < sp_pos[i]) {
+      seg_s[n_seg] = prev;
+      seg_e[n_seg] = sp_pos[i];
+      seg_o[n_seg] = out_total;
+      out_total += sp_pos[i] - prev;
+      plan[n_items++] = n_seg++;
+    }
+    plan[n_items++] = -1 - i;
+    prev = sp_pos[i] + sp_len[i];
+  }
+  if (prev < n) {
+    seg_s[n_seg] = prev;
+    seg_e[n_seg] = n;
+    seg_o[n_seg] = out_total;
+    out_total += n - prev;
+    plan[n_items++] = n_seg++;
+  }
+  int32_t* out =
+      (int32_t*)PyMem_Malloc(sizeof(int32_t) * (out_total ? out_total : 1));
+  if (!out) {
+    PyMem_Free(sp_pos); PyMem_Free(sp_id); PyMem_Free(sp_len);
+    PyMem_Free(seg_s); PyMem_Free(seg_e); PyMem_Free(seg_o);
+    PyMem_Free(counts); PyMem_Free(plan);
+    PyBuffer_Release(&data);
+    return PyErr_NoMemory();
+  }
+  int64_t err = 0;
+  Py_BEGIN_ALLOW_THREADS
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 64) num_threads(nthreads)
+#endif
+  for (int64_t i = 0; i < n_seg; ++i) {
+    int64_t len = seg_e[i] - seg_s[i];
+    int64_t r = td_encode(h, buf + seg_s[i], len, out + seg_o[i], len);
+    counts[i] = r >= 0 ? r : 0;
+    if (r < 0) err = r;
+  }
+  Py_END_ALLOW_THREADS
+  PyObject* res = nullptr;
+  if (err == 0) {
+    int64_t total = n_sp;
+    for (int64_t i = 0; i < n_seg; ++i) total += counts[i];
+    res = PyList_New(total);
+    int64_t w = 0;
+    for (int64_t k = 0; res && k < n_items; ++k) {
+      if (plan[k] < 0) {
+        int32_t id = sp_id[-1 - plan[k]];
+        PyObject* v;
+        if ((uint32_t)id < (uint32_t)g_nlongs) {
+          v = g_longs[id];
+          Py_INCREF(v);
+        } else {
+          v = PyLong_FromLong(id);
+          if (!v) { Py_CLEAR(res); break; }
+        }
+        PyList_SET_ITEM(res, w++, v);
+      } else {
+        const int32_t* ids = out + seg_o[plan[k]];
+        int64_t cnt = counts[plan[k]];
+        for (int64_t i = 0; i < cnt; ++i) {
+          int32_t id = ids[i];
+          PyObject* v;
+          if ((uint32_t)id < (uint32_t)g_nlongs) {
+            v = g_longs[id];
+            Py_INCREF(v);
+          } else {
+            v = PyLong_FromLong(id);
+            if (!v) { Py_CLEAR(res); break; }
+          }
+          PyList_SET_ITEM(res, w++, v);
+        }
+      }
+    }
+    if (res) PyObject_GC_UnTrack(res);  // holds only ints
+  }
+  PyMem_Free(sp_pos); PyMem_Free(sp_id); PyMem_Free(sp_len);
+  PyMem_Free(seg_s); PyMem_Free(seg_e); PyMem_Free(seg_o);
+  PyMem_Free(counts); PyMem_Free(plan);
+  PyMem_Free(out);
+  PyBuffer_Release(&data);
+  if (err == -2) {
+    Py_XDECREF(res);
+    Py_RETURN_NONE;  // vocab not installed: caller falls back
+  }
+  if (err < 0) {
+    Py_XDECREF(res);
+    PyErr_SetString(PyExc_RuntimeError, "td_encode failed");
+    return nullptr;
+  }
+  return res;
+}
+
 // tdpy.decode_list(ids, offs, lens, blob, n_vocab, nthreads) -> bytes
 //
 // Decode a Python list/tuple of token ids straight to bytes: the PyLong
@@ -366,6 +549,8 @@ PyObject* py_decode_list(PyObject*, PyObject* args) {
 PyMethodDef methods[] = {
     {"create", py_create, METH_VARARGS, "create engine"},
     {"set_vocab", py_set_vocab, METH_VARARGS, "install vocab hash"},
+    {"set_specials", py_set_specials, METH_VARARGS,
+     "install special-token scan table"},
     {"encode_list", py_encode_list, METH_VARARGS,
      "encode bytes -> list of token ids (GIL-free encode)"},
     {"prime_longs", py_prime_longs, METH_VARARGS,
@@ -374,6 +559,9 @@ PyMethodDef methods[] = {
      "decode a list of ids to bytes (GIL-free parallel fill)"},
     {"encode_batch_lists", py_encode_batch_lists, METH_VARARGS,
      "batch encode -> list of id lists (OpenMP, one GIL-free region)"},
+    {"encode_with_specials", py_encode_with_specials, METH_VARARGS,
+     "full-allowed-set encode of one text: scan + parallel segment "
+     "encode + interleaved list, one call"},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -264,26 +264,62 @@ class Tokenizer:
             # HashMap iteration, i.e. implementation-defined — see
             # hostengine.find_all_specials.
             data = text.encode("utf-8")
+            import os
+
+            lst = native.encode_with_specials(
+                data,
+                num_threads=self._effective_threads(
+                    min(8, os.cpu_count() or 4)),
+            )
+            if lst is not None:
+                return lst
             found = native.find_specials(data)
             if found is not None:
                 pos, ids = found
                 if not len(pos):
                     return self._encode_ordinary_bytes(native, data)
                 sp_len = self._special_id_byte_lens()
-                out: list[int] = []
+                # interleave plan: segment indices alternate with special
+                # ids (encoded as -1 - id so they never collide)
+                segs: list[bytes] = []
+                plan: list[int] = []
                 prev = 0
                 for p, sid in zip(pos.tolist(), ids.tolist()):
                     if prev < p:
-                        out.extend(
-                            self._encode_ordinary_bytes(native,
-                                                        data[prev:p])
-                        )
-                    out.append(sid)
+                        plan.append(len(segs))
+                        segs.append(data[prev:p])
+                    plan.append(-1 - sid)
                     prev = p + sp_len[sid]
                 if prev < len(data):
-                    out.extend(
-                        self._encode_ordinary_bytes(native, data[prev:])
+                    plan.append(len(segs))
+                    segs.append(data[prev:])
+                if len(segs) >= 8:
+                    # special-dense text (chat logs): one extension call
+                    # encodes every ordinary segment GIL-free in parallel
+                    # — per-segment native calls cost ~2-5 µs each and
+                    # dominated this path at ~30k segments/MB
+                    import os
+
+                    lists = native.encode_batch_lists(
+                        segs, num_threads=self._effective_threads(
+                            min(8, os.cpu_count() or 4))
                     )
+                    if lists is not None:
+                        out = []
+                        for item in plan:
+                            if item < 0:
+                                out.append(-1 - item)
+                            else:
+                                out.extend(lists[item])
+                        return out
+                out = []
+                for item in plan:
+                    if item < 0:
+                        out.append(-1 - item)
+                    else:
+                        out.extend(
+                            self._encode_ordinary_bytes(native, segs[item])
+                        )
                 return out
         out = []
         for seg, special_id in self._host.split_specials(text, allowed):
