@@ -217,7 +217,21 @@ def run_resident(
             pc: Counter = Counter()
             for pieces in win_pieces:
                 pc.update(p for p in pieces if len(p) <= 16)
-            hot_list = [p for p, _ in pc.most_common(128)]
+            # adaptive K, capped at 128: each hot key buys (its
+            # frequency) fewer gathered rows for ~5 full-lane compares.
+            # Chip-measured landscape at the flagship shape: K=128 ->
+            # probe 2,594 µs; K=256 (97.7% coverage, u_cap 5504) ->
+            # 3,219 µs — past ~128 keys the where-chain outgrows one
+            # fusion and the split passes re-materialize the (B, P)
+            # intermediates, costing more than the saved gathers. The
+            # 0.02% floor just trims useless tail keys on low-repetition
+            # corpora.
+            tot0 = sum(pc.values()) or 1
+            hot_list = []
+            for p, cnt in pc.most_common(128):
+                if cnt / tot0 < 0.0002 and len(hot_list) >= 32:
+                    break
+                hot_list.append(p)
             hot_set = frozenset(hot_list)
             unknowns = [
                 sum(1 for p in pieces if p not in hot_set)
