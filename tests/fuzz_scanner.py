@@ -109,6 +109,16 @@ def check(text, tag, verbose=True):
     return ok
 
 
+from tokendagger_tpu.unicode_tables import get_override_cps
+
+# codepoints whose class is oracle-calibrated away from the regex
+# module's tables (see unicode_tables.get_override_cps): the scanner
+# deliberately disagrees with `regex` on them, so this regex-oracle fuzz
+# excludes them; tests/test_unicode_calibration.py differentials them
+# against tiktoken directly
+_CALIBRATED = get_override_cps()
+
+
 def random_text(rng):
     pools = [
         [chr(c) for c in range(0x20, 0x7F)],
@@ -122,7 +132,10 @@ def random_text(rng):
     for _ in range(rng.randrange(1, 60)):
         parts.append(rng.choice(rng.choice(pools)))
     t = "".join(parts)
-    return "".join(ch for ch in t if not (0xD800 <= ord(ch) <= 0xDFFF))
+    return "".join(
+        ch for ch in t
+        if not (0xD800 <= ord(ch) <= 0xDFFF) and ord(ch) not in _CALIBRATED
+    )
 
 
 def run_fuzz(trials=400, seed=42, verbose=True):

@@ -102,6 +102,12 @@ class HostEngine:
         # Compiled with the `regex` module: supports \p{..} Unicode categories
         # and (?i:..) scoped case-insensitivity like PCRE2.
         self._re = _regex.compile(pattern)
+        # Supported profiles split via the class-run scanner over the
+        # tiktoken-calibrated class table (see split_spans); the regex
+        # engine serves generic patterns only.
+        from .vocab import classify_pattern
+
+        self._scan_profile = classify_pattern(pattern)
         # Specials sorted longest-first so that, when two allowed specials
         # match at the same position, the longest wins deterministically.
         self._specials_by_len = sorted(
@@ -122,11 +128,22 @@ class HostEngine:
     # Pretokenization
     # ------------------------------------------------------------------
     def split_spans(self, text: str) -> list[tuple[int, int]]:
-        """Pretoken spans as (start, end) character offsets."""
+        """Pretoken spans as (start, end) character offsets.
+
+        Supported pattern profiles split via the class-run scanner over
+        the CALIBRATED class table (unicode_tables.py): the `regex`
+        module's Unicode version differs from the tiktoken oracle's on
+        ~10k codepoints, so the regex engine itself is only the split
+        oracle for UNSUPPORTED patterns (where the divergence on those
+        codepoints is documented, not fixable)."""
+        if self._scan_profile is not None:
+            from .scanner_ref import split_spans as _scan_spans
+
+            return _scan_spans(text, profile=self._scan_profile)
         return [m.span() for m in self._re.finditer(text)]
 
     def split(self, text: str) -> list[str]:
-        return self._re.findall(text)
+        return [text[a:b] for a, b in self.split_spans(text)]
 
     # ------------------------------------------------------------------
     # Encoding
@@ -139,8 +156,8 @@ class HostEngine:
         tiktoken.cpp:162 — identical results for merge-closed vocabs, but
         tiktoken's behavior is the conformance target for the rest)."""
         out: list[int] = []
-        for m in self._re.finditer(text):
-            piece = m.group().encode("utf-8")
+        for a, b in self.split_spans(text):
+            piece = text[a:b].encode("utf-8")
             r = self.ranks.get(piece)
             if r is not None:
                 out.append(r)
@@ -205,8 +222,8 @@ class HostEngine:
             if start < end:
                 segment = text[start:end]
                 last_piece_token_len = 0
-                for m in self._re.finditer(segment):
-                    piece = m.group().encode("utf-8")
+                for a, b in self.split_spans(segment):
+                    piece = segment[a:b].encode("utf-8")
                     # whole-piece direct lookup fast path (tiktoken.cpp:210-215)
                     r = self.ranks.get(piece)
                     if r is not None:

@@ -6,9 +6,17 @@ The reference pretokenizes with a PCRE2-JIT regex over Unicode categories
 backtracking regex engine with class-run analysis (see ops/pretokenize.py);
 this module compiles the per-codepoint class bitmask it runs on.
 
-Classes are derived by querying the `regex` module itself (the same engine
-as the host oracle) for each property over the full codepoint range, so the
-table agrees with the oracle by construction. Tables are cached on disk.
+Classes are derived by querying the `regex` module for each property over
+the full codepoint range, then overlaid with the checked-in calibration
+data (data/unicode_overrides.npz): the `regex` module, CPython's
+unicodedata, and the Rust regex crate vendored by tiktoken each carry a
+DIFFERENT Unicode version, and they disagree on ~10k codepoints (newly
+assigned blocks + re-categorizations). tiktoken is the conformance
+oracle, so tools/calibrate_unicode.py decides each divergent codepoint's
+class byte by direct behavioral differential against tiktoken (probe
+battery through the scanner + exact merge); the winners ship as package
+data so the table matches the oracle without tiktoken at build time.
+Tables are cached on disk.
 
 Bit layout (uint8):
   WS      0x01  \\s          (Unicode whitespace)
@@ -41,7 +49,7 @@ N_CP = 0x110000
 # case-folds to 's').
 _CONTRACTION_LETTERS = "stredvml"
 
-_TABLE_VERSION = 3  # bump when bit layout / derivation changes
+_TABLE_VERSION = 4  # bump when bit layout / derivation changes
 
 
 def _cache_path() -> Path:
@@ -56,10 +64,25 @@ def _cache_path() -> Path:
 
     rv = getattr(regex, "__version__", "0")
     uv = sys.implementation.name
+    ov = _overrides_tag()
     return d / (
         f"uniclass_v{_TABLE_VERSION}_{uv}_"
-        f"{unicodedata.unidata_version}_re{rv}.npz"
+        f"{unicodedata.unidata_version}_re{rv}_ov{ov}.npz"
     )
+
+
+def _overrides_path() -> Path:
+    return Path(__file__).with_name("data") / "unicode_overrides.npz"
+
+
+def _overrides_tag() -> str:
+    """Short content tag of the calibration overlay (cache key part)."""
+    import hashlib
+
+    p = _overrides_path()
+    if not p.exists():
+        return "none"
+    return hashlib.sha256(p.read_bytes()).hexdigest()[:10]
 
 
 def _build() -> tuple[np.ndarray, dict[str, np.ndarray]]:
@@ -97,11 +120,37 @@ def _build() -> tuple[np.ndarray, dict[str, np.ndarray]]:
     for letter in _CONTRACTION_LETTERS:
         m = member_mask(f"(?i:{letter})")
         folds[letter] = idx[m].astype(np.int32)
+
+    # oracle-calibration overlay: per-codepoint class bytes decided by
+    # behavioral differential against tiktoken (see module docstring /
+    # tools/calibrate_unicode.py)
+    op = _overrides_path()
+    if op.exists():
+        z = np.load(op)
+        classes[z["cps"]] = z["vals"]
     return classes, folds
 
 
 _CACHED: tuple[np.ndarray, dict[str, np.ndarray]] | None = None
 _CACHED_2L: tuple[np.ndarray, np.ndarray] | None = None
+_CACHED_OV: frozenset[int] | None = None
+
+
+def get_override_cps() -> frozenset[int]:
+    """Codepoints whose class byte is oracle-calibrated AWAY from the
+    `regex` module's classing (tools/calibrate_unicode.py). On these the
+    scanner intentionally disagrees with the regex engine — differential
+    fuzz against `regex` must exclude them (the authoritative
+    differential for them is tests/test_unicode_calibration.py, straight
+    against tiktoken)."""
+    global _CACHED_OV
+    if _CACHED_OV is None:
+        p = _overrides_path()
+        if p.exists():
+            _CACHED_OV = frozenset(np.load(p)["cps"].tolist())
+        else:
+            _CACHED_OV = frozenset()
+    return _CACHED_OV
 
 
 def get_two_level_tables() -> tuple[np.ndarray, np.ndarray]:
