@@ -55,17 +55,18 @@ def test_calibrated_sample_matches_tiktoken(pair):
 
 
 @pytest.mark.slow
-def test_calibrated_full_set_matches_tiktoken(pair):
+def test_calibrated_full_set_matches_tiktoken(pair, llama4_assets):
     enc, tk = pair
     from tokendagger_tpu.hostengine import HostEngine
-    from tokendagger_tpu.vocab import LLAMA4_PATTERN
 
-    host = None
-    for i, cp in enumerate(sorted(get_override_cps())):
+    pattern, ranks, _ = llama4_assets
+    host = HostEngine(pattern, ranks, {})
+    for cp in sorted(get_override_cps()):
         c = chr(cp)
         for t in _battery(c):
-            assert enc.encode_ordinary(t) == tk.encode_ordinary(t), \
-                (hex(cp), repr(t))
+            want = tk.encode_ordinary(t)
+            assert enc.encode_ordinary(t) == want, (hex(cp), repr(t))
+            assert host.encode_ordinary(t) == want, (hex(cp), repr(t))
 
 
 def test_host_oracle_uses_calibrated_scanner(llama4_assets):

@@ -787,6 +787,17 @@ int64_t td_find_specials(const void* h, const uint8_t* data, int64_t n,
   return td_find_specials_l(h, data, n, out_pos, out_id, nullptr, cap);
 }
 
+// Shortest installed special's byte length (bounds the match count of a
+// scan: matches never overlap, so <= n / min_len + 1). 0 = no table.
+int32_t td_specials_min_len(const void* h) {
+  const Tables* t = (const Tables*)h;
+  if (!t->sp_ready) return 0;
+  int32_t m = 255;
+  for (const Tables::SpEntry& e : t->sp_short) m = e.len < m ? e.len : m;
+  for (const Tables::SpEntry& e : t->sp_entries) m = e.len < m ? e.len : m;
+  return m;
+}
+
 // Pretokenize: write piece start byte offsets into `starts` (capacity cap,
 // must be >= number of pieces; n+1 always suffices). Returns piece count;
 // starts[count] is set to n (end sentinel).

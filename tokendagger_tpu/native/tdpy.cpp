@@ -36,6 +36,7 @@ int64_t td_decode(const int64_t*, int64_t, const int64_t*, const int32_t*,
                   const uint8_t*, int64_t, uint8_t*, int64_t, int);
 int64_t td_find_specials_l(const void*, const uint8_t*, int64_t, int64_t*,
                            int32_t*, int32_t*, int64_t);
+int32_t td_specials_min_len(const void*);
 }
 
 namespace {
@@ -349,7 +350,15 @@ PyObject* py_encode_with_specials(PyObject*, PyObject* args) {
   }
   const uint8_t* buf = (const uint8_t*)data.buf;
   int64_t n = data.len;
-  int64_t cap_m = n + 1;
+  // matches never overlap, so the shortest installed special bounds the
+  // match count (n+1 worst case would be 16 bytes of scratch per input
+  // byte on special-free multi-MB texts)
+  int32_t min_len = td_specials_min_len(h);
+  if (min_len < 1) {
+    PyBuffer_Release(&data);
+    Py_RETURN_NONE;  // no specials table: caller falls back
+  }
+  int64_t cap_m = n / min_len + 2;
   int64_t* sp_pos = (int64_t*)PyMem_Malloc(sizeof(int64_t) * cap_m);
   int32_t* sp_id = (int32_t*)PyMem_Malloc(sizeof(int32_t) * cap_m);
   int32_t* sp_len = (int32_t*)PyMem_Malloc(sizeof(int32_t) * cap_m);
@@ -424,7 +433,12 @@ PyObject* py_encode_with_specials(PyObject*, PyObject* args) {
     int64_t len = seg_e[i] - seg_s[i];
     int64_t r = td_encode(h, buf + seg_s[i], len, out + seg_o[i], len);
     counts[i] = r >= 0 ? r : 0;
-    if (r < 0) err = r;
+    if (r < 0) {
+#ifdef _OPENMP
+#pragma omp atomic write
+#endif
+      err = r;
+    }
   }
   Py_END_ALLOW_THREADS
   PyObject* res = nullptr;

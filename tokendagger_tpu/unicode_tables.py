@@ -85,7 +85,19 @@ def _overrides_tag() -> str:
     return hashlib.sha256(p.read_bytes()).hexdigest()[:10]
 
 
-def _build() -> tuple[np.ndarray, dict[str, np.ndarray]]:
+def build_raw_classes() -> np.ndarray:
+    """The UNCALIBRATED class table straight from the `regex` module —
+    the base the calibration overlay is defined against. Used by
+    tools/calibrate_unicode.py (overrides are recorded relative to THIS,
+    so re-running the calibration can never silently drop them); not
+    cached."""
+    classes, _ = _build(apply_overrides=False)
+    return classes
+
+
+def _build(
+    apply_overrides: bool = True,
+) -> tuple[np.ndarray, dict[str, np.ndarray]]:
     import regex
 
     classes = np.zeros(N_CP, dtype=np.uint8)
@@ -124,10 +136,11 @@ def _build() -> tuple[np.ndarray, dict[str, np.ndarray]]:
     # oracle-calibration overlay: per-codepoint class bytes decided by
     # behavioral differential against tiktoken (see module docstring /
     # tools/calibrate_unicode.py)
-    op = _overrides_path()
-    if op.exists():
-        z = np.load(op)
-        classes[z["cps"]] = z["vals"]
+    if apply_overrides:
+        op = _overrides_path()
+        if op.exists():
+            z = np.load(op)
+            classes[z["cps"]] = z["vals"]
     return classes, folds
 
 

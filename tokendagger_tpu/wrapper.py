@@ -266,13 +266,20 @@ class Tokenizer:
             data = text.encode("utf-8")
             import os
 
-            lst = native.encode_with_specials(
-                data,
-                num_threads=self._effective_threads(
-                    min(8, os.cpu_count() or 4)),
-            )
-            if lst is not None:
-                return lst
+            if len(data) < self._SPLIT_MIN_BYTES:
+                # one-call C path: scan + GIL-free parallel segment
+                # encode + interleaved list (special-dense chat text has
+                # ~30k tiny segments/MB; per-segment calls pay µs each).
+                # Larger texts keep the scan-then-segments route below so
+                # multi-MB ordinary segments ride the intra-text parallel
+                # split (_encode_split_parallel).
+                lst = native.encode_with_specials(
+                    data,
+                    num_threads=self._effective_threads(
+                        min(8, os.cpu_count() or 4)),
+                )
+                if lst is not None:
+                    return lst
             found = native.find_specials(data)
             if found is not None:
                 pos, ids = found
@@ -293,25 +300,6 @@ class Tokenizer:
                 if prev < len(data):
                     plan.append(len(segs))
                     segs.append(data[prev:])
-                if len(segs) >= 8:
-                    # special-dense text (chat logs): one extension call
-                    # encodes every ordinary segment GIL-free in parallel
-                    # — per-segment native calls cost ~2-5 µs each and
-                    # dominated this path at ~30k segments/MB
-                    import os
-
-                    lists = native.encode_batch_lists(
-                        segs, num_threads=self._effective_threads(
-                            min(8, os.cpu_count() or 4))
-                    )
-                    if lists is not None:
-                        out = []
-                        for item in plan:
-                            if item < 0:
-                                out.append(-1 - item)
-                            else:
-                                out.extend(lists[item])
-                        return out
                 out = []
                 for item in plan:
                     if item < 0:

@@ -60,11 +60,20 @@ def main() -> int:
         LC, LETTER, NUM, RN, UC, WS, get_tables,
     )
 
+    from tokendagger_tpu.unicode_tables import (
+        build_raw_classes, get_override_cps,
+    )
+
     ranks = V.load_tiktoken_model("/root/reference/src/tokenizer.model")
     tk = tiktoken.Encoding("llama4", pat_str=V.LLAMA4_PATTERN,
                            mergeable_ranks=ranks, special_tokens={})
     rd = dict(ranks)
     classes, _ = get_tables()  # the CACHED array — patched in place
+    # overrides are defined RELATIVE TO THE RAW regex-module classing:
+    # the cached table already carries the current overlay, so deciding
+    # "needs an override?" against it would silently drop every existing
+    # override on a re-run
+    raw = build_raw_classes()
 
     MASK = LETTER | NUM | UC | LC
 
@@ -88,14 +97,16 @@ def main() -> int:
             "A" + c + "'s", c + "\n x",
         ]
 
-    diff = np.load("/tmp/diffset.npy") if Path("/tmp/diffset.npy").exists() \
-        else None
-    if diff is None:
-        alt = np.array(
-            [alt_bits_ud(cp, LETTER, NUM, UC, LC)
-             if not (0xD800 <= cp <= 0xDFFF) else 0
-             for cp in range(0x110000)], dtype=np.uint8)
-        diff = np.nonzero((classes & MASK) != alt)[0]
+    alt = np.array(
+        [alt_bits_ud(cp, LETTER, NUM, UC, LC)
+         if not (0xD800 <= cp <= 0xDFFF) else 0
+         for cp in range(0x110000)], dtype=np.uint8)
+    # calibration set: raw-vs-unicodedata divergence UNION the currently
+    # overridden codepoints (so every existing override is re-validated,
+    # never silently forgotten)
+    cand = set(np.nonzero((raw & MASK) != alt)[0].tolist())
+    cand |= set(get_override_cps())
+    diff = np.asarray(sorted(cand), dtype=np.int64)
     print(f"calibrating {len(diff)} divergent codepoints", flush=True)
 
     overrides: dict[int, int] = {}
@@ -105,7 +116,8 @@ def main() -> int:
         c = chr(cp)
         texts = battery(c)
         want = [tk.encode_ordinary(t) for t in texts]
-        base_bits = int(classes[cp])
+        orig = int(classes[cp])  # current (possibly overlaid) value
+        base_bits = int(raw[cp])
         keep = base_bits & ~MASK
         cands = [base_bits & MASK, alt_bits_ud(cp, LETTER, NUM, UC, LC)]
         for extra in (0, LETTER | UC | LC, UC | LC, NUM, LETTER | UC,
@@ -122,7 +134,7 @@ def main() -> int:
                 # (no override churn); any later-candidate win is real
                 break
         if chosen is None:
-            classes[cp] = base_bits
+            classes[cp] = orig
             unresolved.append(cp)
         else:
             classes[cp] = keep | chosen
