@@ -77,3 +77,12 @@ def test_micro_and_code_ratios_match_artifacts():
 def test_svgs_exist_for_every_throughput_json():
     for p in (REPO / "artifacts").glob("throughput_*mb.json"):
         assert p.with_suffix(".svg").exists(), f"missing SVG for {p.name}"
+
+
+def test_specials_numbers_match_artifact():
+    d = _load("specials_bench.json")
+    assert d["exact_vs_tiktoken"] is True
+    for key in ("dense_1per34B", "chat_1per160B"):
+        row = d["encode_allowed_all_mbps"][key]
+        assert f"{row['ours']} MB/s" in NUMBERS
+        assert f"{row['speedup']}" in NUMBERS
