@@ -61,3 +61,23 @@ def test_custom_loader(tiny_vocab):
 
     td.register_encoding("loader-enc", loader=loader)
     assert td.get_encoding("loader-enc").encode_ordinary("x")
+
+
+def test_standard_tiktoken_names_registered():
+    """The standard tiktoken names resolve via tiktoken's own vocab data
+    when available; offline they raise a ValueError pointing at the
+    fetch script (never an opaque failure)."""
+    import pytest
+
+    import tokendagger_tpu as td
+
+    try:
+        enc = td.get_encoding("cl100k_base")
+    except ValueError as e:
+        assert "fetch_real_vocabs" in str(e)
+        pytest.skip("tiktoken vocab data unavailable offline")
+    import tiktoken
+
+    tk = tiktoken.get_encoding("cl100k_base")
+    t = "hello world don't 12345"
+    assert enc.encode_ordinary(t) == tk.encode_ordinary(t)

@@ -12,6 +12,11 @@ Built-ins:
     (tiktoken .model format) + optional $TOKENDAGGER_LLAMA4_CONFIG
     (HF config for specials).
   - "tekken": Mistral Tekken; $TOKENDAGGER_TEKKEN_JSON.
+  - the standard tiktoken names ("cl100k_base", "o200k_base", "gpt2",
+    "r50k_base", "p50k_base"): built from tiktoken's own vocab data
+    when its cache/network can supply it (tools/fetch_real_vocabs.py
+    pre-stages the files with sha256 pinning for offline hosts) — a
+    true `tiktoken.get_encoding` drop-in.
 """
 
 from __future__ import annotations
@@ -107,6 +112,31 @@ def _load_tekken_file(name, tekken_file) -> Tokenizer:
     )
 
 
+_TIKTOKEN_NAMES = frozenset(
+    ("cl100k_base", "o200k_base", "gpt2", "r50k_base", "p50k_base")
+)
+
+
+def _load_via_tiktoken(name: str) -> Tokenizer:
+    """Standard encodings from tiktoken's own vocab data (cache or
+    network); offline hosts pre-stage the files with
+    tools/fetch_real_vocabs.py."""
+    try:
+        import tiktoken
+
+        tk = tiktoken.get_encoding(name)
+    except Exception as e:  # noqa: BLE001 - no cache and no network
+        raise ValueError(
+            f"Encoding {name!r} needs tiktoken's vocab data, which could "
+            f"not be loaded ({type(e).__name__}: {e}). On offline hosts, "
+            "pre-stage it with `python tools/fetch_real_vocabs.py`."
+        ) from e
+    return Tokenizer(
+        name, pattern=tk._pat_str, mergeable_ranks=tk._mergeable_ranks,
+        special_tokens=tk._special_tokens,
+    )
+
+
 def _builtin_loader(name: str):
     if name == "llama4":
         model = os.environ.get("TOKENDAGGER_LLAMA4_MODEL")
@@ -120,4 +150,6 @@ def _builtin_loader(name: str):
         tj = os.environ.get("TOKENDAGGER_TEKKEN_JSON")
         if tj:
             return functools.partial(_load_tekken_file, name, Path(tj))
+    if name in _TIKTOKEN_NAMES:
+        return functools.partial(_load_via_tiktoken, name)
     return None
