@@ -82,3 +82,51 @@ def test_host_oracle_uses_calibrated_scanner(llama4_assets):
                            mergeable_ranks=ranks, special_tokens={})
     for t in ("\U000187fe's", "a\U000187feb", "x ᫐y"):
         assert host.encode_ordinary(t) == tk.encode_ordinary(t), repr(t)
+
+
+@pytest.mark.slow
+def test_device_general_path_on_calibrated_cps(llama4_assets):
+    """The device resident pipeline (general path, hot class routing) on
+    windows stuffed with calibrated codepoints — ids verified against
+    the host oracle by run_resident AND against tiktoken directly."""
+    import random
+
+    import numpy as np
+    import tiktoken
+
+    from tokendagger_tpu.hostengine import HostEngine
+    from tokendagger_tpu.resident import run_resident
+
+    pattern, ranks, _ = llama4_assets
+    rng = random.Random(9)
+    ov = sorted(get_override_cps())
+    parts = []
+    for _ in range(4000):
+        r = rng.random()
+        if r < 0.4:
+            parts.append(chr(rng.choice(ov)))
+        elif r < 0.7:
+            parts.append(rng.choice(["word ", "don't ", "12345 ", ". "]))
+        else:
+            parts.append(rng.choice(["é", "🙂", "日本", " "]))
+    corpus = ("".join(parts) * 8).encode("utf-8")
+
+    res = run_resident(ranks, {}, pattern, corpus,
+                       window=1 << 15, n_windows=2, reps=1, batch=2,
+                       starts_impl="bits-pallas", compact_impl="butterfly",
+                       probe_impl="chunks", cap_bytes_per_piece=0,
+                       overlap_trial=False)
+    assert res.impl == "general"
+    assert res.match_host          # device == host oracle
+    assert res.overflow_windows == 0
+
+    # and the host oracle == tiktoken on the same windows
+    tk = tiktoken.Encoding("llama4", pat_str=pattern,
+                           mergeable_ranks=ranks, special_tokens={})
+    host = HostEngine(pattern, ranks, {})
+    from tokendagger_tpu.utils.windows import tile_windows
+
+    wins, nbs = tile_windows(corpus, 1 << 15, 2)
+    for b in range(2):
+        t = bytes(wins[b, : nbs[b]]).decode("utf-8")
+        assert host.encode_ordinary(t) == tk.encode_ordinary(t)
