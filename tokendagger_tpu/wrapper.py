@@ -141,8 +141,9 @@ class Tokenizer:
                     )
                     if self._special_tokens:
                         # single-pass byte-space special scan (exact
-                        # find_all_specials semantics; ~40x the Python
-                        # scan on special-dense text — docs/PERF.md)
+                        # find_all_specials semantics; ~60x the Python
+                        # scan on special-dense text — docs/PERF.md,
+                        # artifacts/specials_bench.json)
                         self._native.set_specials(self._special_tokens)
             except Exception:  # noqa: BLE001 - any failure => pure-Python path
                 self._native = None
