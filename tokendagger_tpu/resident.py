@@ -276,7 +276,12 @@ def run_resident(
     probe_hot_active = probe_hot_cfg is not None
     if probe_hot_active:
         u_cap_p = probe_hot_cfg["u_cap"]
-        nch_u = (16 if u_cap_p > 300_000
+        # chunk sweep at the DENSE shape (tools/probe_hot_decomp.py,
+        # 8 x 48000): 8 -> 0.912, **16 -> 0.845**, 24 -> 0.857,
+        # 32 -> 0.910, 48 -> 0.886, 96 -> 1.280 ms — small dense prefixes
+        # want few chunks (the 96 band was tuned for 150k+ slots)
+        nch_u = (16 if u_cap_p <= 131_072
+                 else 16 if u_cap_p > 300_000
                  else 64 if u_cap_p > 256_000
                  else 48 if u_cap_p > 200_000 else 96)
         interp_p = jax.default_backend() not in ("tpu",)
